@@ -1,0 +1,376 @@
+"""The Krylov-Schur restart driver: `partial_schur`.
+
+Orchestrates the two layers of the solver: jitted device kernels for the
+n-sized work (Arnoldi expansion, basis-change GEMM — ops/expansion.py) and
+the host float64 dense kernels for the (maxdim+1)-sized work (Francis QR,
+reordering, restoration — dense/).  All restart decisions (locking counts,
+purge index, conjugate-pair splits, truncation size) are made on host from
+the tiny replicated H — the device only ever sees fixed-shape SpMV/GEMM
+work, which is exactly what keeps the TPU path compile-once and
+collective-friendly.
+
+Behavioral reference: ArnoldiMethod.jl src/run.jl (driver `_partialschur`
+:224-392, convergence criterion :188-208, three-way partition :394-457,
+final sort :459-502, residuals :519-545).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .dense.eig import collect_eigen, copy_eigenvalues, eigenvalue
+from .dense.restore import restore_arnoldi
+from .dense.schur import local_schur
+from .dense.swaps import (
+    is_end_of_11_block,
+    is_start_of_11_block,
+    rotate_right,
+    swap,
+)
+from .models.operators import as_operator
+from .ops.expansion import (
+    apply_basis_change,
+    expand_range,
+    set_initial_vector,
+    set_random_vector,
+)
+from .targets import as_target, get_order
+from .workspace import ArnoldiWorkspace
+
+__all__ = ["History", "PartialSchur", "partial_schur"]
+
+
+class History:
+    """Convergence summary: matrix-vector product count, number of
+    converged eigenvalues, and whether the request was met
+    (ref: run.jl:211-222, show.jl)."""
+
+    def __init__(self, mvproducts, nconverged, converged, nev):
+        self.mvproducts = mvproducts
+        self.nconverged = nconverged
+        self.converged = converged
+        self.nev = nev
+
+    def __repr__(self):
+        status = "Converged" if self.converged else "Not converged"
+        return (
+            f"{status}: {self.nconverged} of {self.nev} eigenvalues "
+            f"in {self.mvproducts} matrix-vector products"
+        )
+
+
+class PartialSchur:
+    """Partial Schur decomposition A Q = Q R: Q is an orthonormal
+    (n, nconverged) device array, R the (nconverged, nconverged) host
+    quasi-upper-triangular factor, and `eigenvalues` the complex-valued
+    diagonal-block eigenvalues (always complex-typed, ref:
+    ArnoldiMethod.jl:120-137)."""
+
+    def __init__(self, Q, R, eigenvalues):
+        self.Q = Q
+        self.R = R
+        self.eigenvalues = eigenvalues
+
+    def __repr__(self):
+        return (
+            f"PartialSchur decomposition (Q: {tuple(self.Q.shape)}, "
+            f"R: {tuple(self.R.shape)}) with eigenvalues:\n"
+            + repr(self.eigenvalues)
+        )
+
+
+def _is_pair_at(lams, ord_, pos, is_real):
+    """True iff the sorted Ritz positions pos, pos+1 hold a conjugate pair
+    (ref: include_conjugate_pair, run.jl:510-517)."""
+    if not is_real or pos + 1 >= len(ord_):
+        return False
+    l1 = lams[ord_[pos]]
+    return l1.imag != 0 and np.conj(l1) == lams[ord_[pos + 1]]
+
+
+def _partition_three_way(R, Q, groups):
+    """Partition the Schur blocks into [locked | retained | purged] by
+    rotating group-1 and group-2 blocks forward (ref: run.jl:394-457)."""
+    m = R.shape[1]
+    hi = mi = lo = 0
+    while hi < m:
+        group = groups[hi]
+        bs = 1 if is_start_of_11_block(R, hi) else 2
+        if group == 3:
+            hi += bs
+        elif group == 2:
+            rotate_right(R, mi, hi, Q)
+            hi += bs
+            mi += bs
+        else:
+            rotate_right(R, lo, hi, Q)
+            hi += bs
+            mi += bs
+            lo += bs
+
+
+def _sort_schur(R, Q, count, key):
+    """Insertion sort of the leading `count` Schur blocks into the user's
+    target order via direct swaps (ref: run.jl:459-502)."""
+    if count <= 1:
+        return
+    next_idx = 0
+    while next_idx < count:
+        curr = next_idx
+        curr_size = 1 if is_start_of_11_block(R, curr) else 2
+        lam_curr = eigenvalue(R, curr)
+        while curr > 0:
+            prev_size = 1 if is_end_of_11_block(R, curr - 1) else 2
+            prev = curr - prev_size
+            lam_prev = eigenvalue(R, prev)
+            if not key(lam_curr) < key(lam_prev):
+                break
+            swap(R, prev, prev_size == 1, curr_size == 1, Q)
+            curr -= prev_size
+        next_idx += curr_size
+
+
+def _copy_residuals(rs, H, Q, h_last, x, lo, hi):
+    """Ritz residuals ||A x - lam x|| = |q_m^T y| * |h_{m+1,m}| computed
+    from the Hessenberg eigenvector y and the last row of Q
+    (ref: run.jl:519-545)."""
+    m = H.shape[1]
+    rs[:] = 0.0
+    for i in range(lo, hi):
+        x[:] = 0
+        klen = collect_eigen(x, H[:m, :], i)
+        tmp = Q[m - 1, :klen] @ x[:klen]
+        rs[i] = abs(tmp * h_last)
+    return rs
+
+
+def partial_schur(
+    A,
+    *,
+    n=None,
+    dtype=None,
+    v1=None,
+    nev=None,
+    which="LM",
+    tol=None,
+    mindim=None,
+    maxdim=None,
+    restarts=200,
+    workspace=None,
+    start_from=None,
+    initialize=None,
+    seed=0,
+    sharding=None,
+):
+    """Compute an approximate partial Schur decomposition A Q = Q R with
+    `nev` eigenvalues near the target `which`.
+
+    A can be a LinearOperator, a square 2-D array, or a jit-traceable
+    callable (then pass n= and dtype=).  Returns (PartialSchur, History).
+
+    Keyword defaults mirror the reference exactly (run.jl:100-129):
+    nev = min(6, n); which = 'LM'; tol = sqrt(eps(real dtype));
+    mindim = min(max(10, nev), n); maxdim = min(max(20, 2 nev), n);
+    restarts = 200.  Convergence: ||A x - lam x|| <= max(eps ||H||_F,
+    tol |lam|), scale-invariant with a machine-epsilon floor
+    (ref: run.jl:188-208).
+
+    Warm start / resume: pass `workspace` (an ArnoldiWorkspace holding a
+    previous decomposition) plus `start_from` = previous nconverged, to
+    continue locking more eigenvalues — the checkpoint/resume mechanism
+    (ref: partialschur!, run.jl:131-179).
+    """
+    op = as_operator(A, n=n, dtype=dtype)
+    n = op.shape[0]
+    if op.shape[0] != op.shape[1]:
+        raise ValueError("matrix is not square")
+
+    if nev is None:
+        nev = min(6, n)
+    if nev < 1:
+        raise ValueError("nev cannot be less than 1")
+    if mindim is None:
+        mindim = min(max(10, nev), n)
+    if maxdim is None:
+        maxdim = min(max(20, 2 * nev), n)
+    if workspace is not None:
+        mindim = min(mindim, workspace.V.shape[0] - 1)
+        maxdim = min(maxdim, workspace.V.shape[0] - 1)
+    if not (nev <= mindim <= maxdim <= n):
+        raise ValueError(
+            "nev <= mindim <= maxdim <= size(A, 1) does not hold, got "
+            f"{nev} <= {mindim} <= {maxdim} <= {n}"
+        )
+
+    # Working dtype: follow the operator (canonicalized under the current
+    # x64 setting), like the reference's vtype genericity.
+    work_dtype = jnp.zeros(0, dtype=op.dtype).dtype
+    order_key = get_order(as_target(which))
+    if tol is None:
+        tol = float(np.sqrt(jnp.finfo(work_dtype).eps))
+
+    key = jax.random.PRNGKey(seed)
+
+    if workspace is None:
+        ws = ArnoldiWorkspace(n, maxdim, dtype=work_dtype, sharding=sharding)
+        if start_from is not None and start_from != 0:
+            raise ValueError("start_from requires an explicit workspace")
+        active0 = 0
+        if v1 is not None:
+            v1 = jnp.asarray(v1)
+            if v1.shape != (n,):
+                raise ValueError("v1 should have the same dimension as A")
+            ws.V = set_initial_vector(ws.V, v1)
+        else:
+            ws.V = set_random_vector(ws.V, 0, jax.random.fold_in(key, 2**31))
+    else:
+        ws = workspace
+        if maxdim >= ws.V.shape[0]:
+            raise ValueError("maxdim should be strictly less than V's row count")
+        active0 = 0 if start_from is None else int(start_from)
+        if not 0 <= active0 <= maxdim:
+            raise ValueError("start_from should be between 0 and maxdim")
+        ws.H[:, active0:] = 0
+        if initialize is None:
+            initialize = active0 == 0 and v1 is None
+        if v1 is not None:
+            if active0 != 0:
+                raise ValueError("v1 requires start_from == 0")
+            ws.V = set_initial_vector(ws.V, jnp.asarray(v1))
+        elif initialize:
+            ws.V = set_random_vector(
+                ws.V, active0, jax.random.fold_in(key, 2**31)
+            )
+
+    schur, history = _partial_schur(
+        op, ws, mindim, maxdim, nev, tol, restarts, order_key, active0, key
+    )
+    return schur, history
+
+
+def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, order_key, active0, key):
+    m = maxdim
+    n = op.shape[0]
+    H = ws.H  # host authority, float64/complex128
+    V = ws.V
+    is_real = not np.issubdtype(H.dtype, np.complexfloating)
+    eps_work = float(jnp.finfo(ws.dtype).eps)
+
+    lams = np.zeros(m, dtype=complex)
+    rs = np.zeros(m, dtype=float)
+    x = np.zeros(m, dtype=complex)
+    groups = np.zeros(m, dtype=int)
+
+    Hdev = jnp.asarray(H, dtype=ws.dtype)
+
+    active = active0
+    # A warm start may resume past mindim; never shrink below the locked part.
+    k = max(mindim, active0)
+    prods = k - active0
+
+    # Initial expansion to a mindim-sized relation.
+    V, Hdev = expand_range(op, V, Hdev, active0, k, jax.random.fold_in(key, 0))
+    H[:, active0:k] = np.asarray(Hdev[:, active0:k], dtype=H.dtype)
+
+    for it in range(1, restarts + 1):
+        # Expand the Krylov subspace from k to maxdim (device).
+        if k < m:
+            V, Hdev = expand_range(op, V, Hdev, k, m, jax.random.fold_in(key, it))
+            H[:, k:m] = np.asarray(Hdev[:, k:m], dtype=H.dtype)
+            prods += m - k
+
+        # Dense restart phase (host, f64).
+        Q = np.eye(m, dtype=H.dtype)
+        local_schur(H[:m, :], active, m, Q)
+
+        copy_eigenvalues(lams, H[:m, :], 0, m)
+        _copy_residuals(rs, H, Q, H[m, m - 1], x, active, m)
+        ord_ = np.array(
+            sorted(range(m), key=lambda i: (order_key(lams[i]), i))
+        )
+        h_frob = np.linalg.norm(H)
+
+        def isconverged(idx):
+            return rs[idx] <= max(eps_work * h_frob, tol * abs(lams[idx]))
+
+        # [locked | retained | purged] partitioning.  Keep nev or nev+1
+        # depending on whether the cut would split a conjugate pair.
+        effective_nev = nev + 1 if _is_pair_at(lams, ord_, nev - 1, is_real) else nev
+
+        nlock = 0
+        for i in range(effective_nev):
+            if isconverged(ord_[i]):
+                groups[ord_[i]] = 1
+                nlock += 1
+            else:
+                groups[ord_[i]] = 2
+
+        # Truncation size k: roughly mindim active columns, at most halfway
+        # to maxdim, never splitting a pair (ref: run.jl:310-339).
+        ideal_size = min(nlock + mindim, (mindim + maxdim) // 2)
+        k = effective_nev
+        i = effective_nev
+        while i < m:
+            pair = _is_pair_at(lams, ord_, i, is_real)
+            num = 2 if pair else 1
+            if k < ideal_size and not isconverged(ord_[i]):
+                group = 2
+                k += num
+            else:
+                group = 3
+            groups[ord_[i]] = group
+            if pair:
+                groups[ord_[i + 1]] = group
+            i += num
+
+        # Index of the first formerly-locked vector that is being purged
+        # (locked values can be unlocked when better ones appear,
+        # ref: run.jl:341-353).
+        purge = 0
+        while purge < active and groups[purge] == 1:
+            purge += 1
+
+        _partition_three_way(H[:m, :], Q, groups)
+
+        # Restore the Hessenberg structure of the new active part.
+        restore_arnoldi(H, nlock, k, Q)
+
+        # Single fixed-shape basis-change GEMM: columns [purge, k) from Q,
+        # row k takes the old row m (the next-vector slot), everything else
+        # passes through untouched (ref: run.jl:363-365).
+        Qbig = np.eye(m + 1, dtype=H.dtype)
+        Qbig[:, purge:k] = 0
+        Qbig[purge:m, purge:k] = Q[purge:m, purge:k]
+        if k < m:
+            Qbig[:, k] = 0
+            Qbig[m, k] = 1
+        V = apply_basis_change(V, jnp.asarray(Qbig, dtype=ws.dtype))
+
+        active = nlock
+        if active >= nev:
+            break
+
+    nconverged = active
+
+    # Sort the converged eigenvalues in the user's target order.
+    Q = np.eye(m, dtype=H.dtype)
+    _sort_schur(H[:m, :], Q, nconverged, order_key)
+    Qbig = np.eye(m + 1, dtype=H.dtype)
+    Qbig[:m, :m] = Q
+    V = apply_basis_change(V, jnp.asarray(Qbig, dtype=ws.dtype))
+
+    if nconverged > 0:
+        copy_eigenvalues(lams, H[:m, :], 0, nconverged)
+
+    ws.V = V
+
+    history = History(prods, nconverged, nconverged >= nev, nev)
+    schur = PartialSchur(
+        V[:nconverged].T,
+        H[:nconverged, :nconverged].copy(),
+        lams[:nconverged].copy(),
+    )
+    return schur, history

@@ -1,0 +1,193 @@
+"""Linear operator protocol and concrete operator types (the 'models' of
+this framework: the matrix families partial_schur operates on).
+
+The contract mirrors the reference's matrix-free `mul!`/`eltype`/`size`
+protocol (run.jl:21-23): an operator exposes `shape`, `dtype` and
+`matvec(x)`, where matvec is traceable under jax.jit.  Operators are
+registered as pytrees so they can be passed straight into jitted device
+functions: their arrays are traced (no recompilation across calls), their
+structure is static.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.tree_util import register_pytree_node_class
+
+__all__ = [
+    "LinearOperator",
+    "DenseOperator",
+    "EllOperator",
+    "FunctionOperator",
+    "ShiftInvertDenseOperator",
+    "as_operator",
+    "csr_to_ell",
+]
+
+
+class LinearOperator:
+    """Protocol base class.  Subclasses define `shape`, `dtype`, and
+    `matvec(x) -> y` (jit-traceable)."""
+
+    shape: tuple
+    dtype: np.dtype
+
+    def matvec(self, x):
+        raise NotImplementedError
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+
+@register_pytree_node_class
+class DenseOperator(LinearOperator):
+    """Dense matrix operator; matvec is an XLA matvec on the MXU."""
+
+    def __init__(self, A):
+        self.A = A if isinstance(A, jax.Array) else jnp.asarray(A)
+        self.shape = self.A.shape
+        self.dtype = self.A.dtype
+
+    def matvec(self, x):
+        return self.A @ x
+
+    def tree_flatten(self):
+        return (self.A,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+@register_pytree_node_class
+class EllOperator(LinearOperator):
+    """Sparse matrix in padded ELL format: `data` (n, K) holds up to K
+    nonzeros per row (zero-padded), `cols` (n, K) the column indices
+    (padded entries point at column 0 with zero data).
+
+    This is the TPU-friendly sparse layout for the Arnoldi matvec: fully
+    static shapes, rows vectorize over the VPU, and the x-gather is a
+    single XLA gather.  CSR input is converted via `csr_to_ell`.
+    """
+
+    def __init__(self, data, cols, shape):
+        self.data = data if isinstance(data, jax.Array) else jnp.asarray(data)
+        self.cols = cols if isinstance(cols, jax.Array) else jnp.asarray(cols, dtype=jnp.int32)
+        self.shape = tuple(shape)
+        self.dtype = self.data.dtype
+
+    @property
+    def nnz(self):
+        return int(self.data.size)
+
+    def matvec(self, x):
+        return jnp.sum(self.data * x[self.cols], axis=1)
+
+    def tree_flatten(self):
+        return (self.data, self.cols), self.shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
+
+
+def csr_to_ell(indptr, indices, data, shape, dtype=None):
+    """Convert CSR arrays to the padded ELL layout (host-side)."""
+    indptr = np.asarray(indptr)
+    indices = np.asarray(indices)
+    data = np.asarray(data)
+    n = shape[0]
+    row_nnz = np.diff(indptr)
+    K = max(1, int(row_nnz.max()))
+    ell_data = np.zeros((n, K), dtype=dtype or data.dtype)
+    ell_cols = np.zeros((n, K), dtype=np.int32)
+    for i in range(n):
+        lo, hi = indptr[i], indptr[i + 1]
+        ell_data[i, : hi - lo] = data[lo:hi]
+        ell_cols[i, : hi - lo] = indices[lo:hi]
+    return EllOperator(ell_data, ell_cols, shape)
+
+
+@register_pytree_node_class
+class FunctionOperator(LinearOperator):
+    """Wrap an arbitrary jit-traceable callable y = f(x) as an operator.
+    The callable is static structure; any arrays it closes over are baked
+    into the jit cache (pass them via a custom operator if they change)."""
+
+    def __init__(self, f, n, dtype):
+        self.f = f
+        self.shape = (n, n)
+        self.dtype = np.dtype(dtype)
+
+    def matvec(self, x):
+        return self.f(x)
+
+    def tree_flatten(self):
+        return (), (self.f, self.shape[0], self.dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux)
+
+
+@register_pytree_node_class
+class ShiftInvertDenseOperator(LinearOperator):
+    """Shift-invert spectral transform x -> (A - sigma*I)^{-1} x for a
+    dense A, via a precomputed LU factorization (two triangular solves per
+    matvec).  Eigenvalues transform as theta = 1 / (lambda - sigma); use
+    `which='LM'` and map back lambda = sigma + 1/theta
+    (ref: docs/src/index.md:234-303 shift-invert recipe).
+    """
+
+    def __init__(self, lu, piv, sigma, shape):
+        self.lu = lu
+        self.piv = piv
+        self.sigma = sigma
+        self.shape = tuple(shape)
+        self.dtype = lu.dtype
+
+    @classmethod
+    def build(cls, A, sigma):
+        A = jnp.asarray(A)
+        dtype = jnp.result_type(A.dtype, type(sigma))
+        n = A.shape[0]
+        B = A.astype(dtype) - sigma * jnp.eye(n, dtype=dtype)
+        lu, piv = jax.scipy.linalg.lu_factor(B)
+        return cls(lu, piv, sigma, A.shape)
+
+    def matvec(self, x):
+        return jax.scipy.linalg.lu_solve((self.lu, self.piv), x)
+
+    def tree_flatten(self):
+        return (self.lu, self.piv, self.sigma), self.shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux)
+
+
+def as_operator(A, n=None, dtype=None):
+    """Coerce A (operator, 2-D array, or callable) to a LinearOperator."""
+    if isinstance(A, LinearOperator):
+        return A
+    if callable(A) and not hasattr(A, "ndim"):
+        if n is None or dtype is None:
+            raise ValueError(
+                "wrapping a callable requires the n= and dtype= keywords"
+            )
+        return FunctionOperator(A, n, dtype)
+    arr = A if isinstance(A, jax.Array) else np.asarray(A)
+    if arr.ndim != 2:
+        raise ValueError("A must be a square 2-D array, operator, or callable")
+    if arr.shape[0] != arr.shape[1]:
+        raise ValueError(
+            f"matrix is not square: dimensions are {tuple(arr.shape)}"
+        )
+    # vtype promotion: integer/bool matrices solve in floating point
+    # (ref: run.jl:9-12).
+    if np.issubdtype(arr.dtype, np.integer) or np.issubdtype(arr.dtype, np.bool_):
+        arr = np.asarray(arr, dtype=np.float64)
+    return DenseOperator(jnp.asarray(arr))

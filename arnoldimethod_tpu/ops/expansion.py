@@ -1,0 +1,141 @@
+"""Arnoldi expansion: the only n-sized device work in the solver.
+
+One jitted `lax.fori_loop` performs matvec + classical Gram-Schmidt with
+DGKS reorthogonalization (eta = sqrt(2)/2, the ARPACK constant) per Krylov
+step, using fixed shapes and row masks — no dynamic shapes, so XLA compiles
+one kernel for every (j0, j1) range.  The basis V is stored with vectors as
+*rows* of a (maxdim+1, n) array: n rides the 128-lane axis and is the
+sharded dimension on a device mesh; the Gram-Schmidt coefficients come from
+one (maxdim+1, n) x (n,) matvec whose contraction XLA turns into a psum
+over the mesh.
+
+Behavioral reference: ArnoldiMethod.jl src/expansion.jl (orthogonalize!
+:69-109, reinitialize! :12-59, iterate_arnoldi! :116-133).  Breakdown
+(new vector numerically in the span) zeroes H[j+1, j] and replaces the
+column with a fresh random vector orthogonal to the basis — the
+invariant-subspace path — except when the basis already spans the space.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+ETA = 0.7071067811865476  # sqrt(2)/2, the ARPACK DGKS constant
+
+
+def _norm(w):
+    return jnp.sqrt(jnp.real(jnp.vdot(w, w)))
+
+
+def _masked_project(V, w, mask):
+    """h = V[:rows<=j]^H w and the projection update, fixed shape."""
+    h = jnp.where(mask, V.conj() @ w, 0)
+    return h, w - h @ V
+
+
+def _dgks_orthogonalize(V, w, mask):
+    """Two-stage DGKS: returns (w, h, wnorm, refnorm) where breakdown is
+    declared by the caller iff wnorm <= ETA * refnorm
+    (ref: expansion.jl:69-109)."""
+    rnorm = _norm(w)
+    h, w = _masked_project(V, w, mask)
+    wnorm = _norm(w)
+
+    def second_pass(args):
+        w, h, wnorm = args
+        c, w2 = _masked_project(V, w, mask)
+        return w2, h + c, _norm(w2), wnorm
+
+    def no_second_pass(args):
+        w, h, wnorm = args
+        return w, h, wnorm, rnorm
+
+    return lax.cond(
+        wnorm < ETA * rnorm, second_pass, no_second_pass, (w, h, wnorm)
+    )
+
+
+def _random_unit_vector(key, n, dtype, V, mask):
+    """Fresh random vector orthonormalized against the masked rows of V
+    (ref: reinitialize!, expansion.jl:12-59)."""
+    v = jax.random.normal(key, (n,), dtype=dtype)
+    _, v = _masked_project(V, v, mask)
+    _, v = _masked_project(V, v, mask)
+    return v / _norm(v)
+
+
+@partial(jax.jit, donate_argnums=(1, 2))
+def expand_range(op, V, H, j0, j1, key):
+    """Extend the Arnoldi relation A V[:j].T = V[:j+1].T H[:j+1, :j] by
+    computing basis rows j0+1 .. j1 and H columns j0 .. j1-1.
+
+    V: (maxdim+1, n) basis rows; H: (maxdim+1, maxdim) device Hessenberg
+    (only columns [j0, j1) are written — the caller owns the authoritative
+    host copy of older columns).  Returns updated (V, H).
+    """
+    m1, n = V.shape
+    rows = jnp.arange(m1)
+
+    def body(j, carry):
+        V, H = carry
+        w = op.matvec(V[j])
+        mask = rows <= j
+        w, h, wnorm, refnorm = _dgks_orthogonalize(V, w, mask)
+        breakdown = wnorm <= ETA * refnorm
+
+        def keep(V, H):
+            Hcol = jnp.where(rows == j + 1, wnorm.astype(H.dtype), h)
+            return V.at[j + 1].set(w / wnorm), H.at[:, j].set(Hcol)
+
+        def handle_breakdown(V, H):
+            H = H.at[:, j].set(h)  # H[j+1, j] stays zero: deflation
+
+            def reinit(V):
+                v = _random_unit_vector(
+                    jax.random.fold_in(key, j), n, V.dtype, V, mask
+                )
+                return V.at[j + 1].set(v)
+
+            # When the basis already spans the whole space (j+1 == n) there
+            # is no new direction (expansion.jl:127).
+            V = lax.cond(j + 1 < n, reinit, lambda V: V.at[j + 1].set(w), V)
+            return V, H
+
+        return lax.cond(breakdown, handle_breakdown, keep, V, H)
+
+    V, H = lax.fori_loop(j0, j1, body, (V, H))
+    return V, H
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def set_initial_vector(V, v):
+    """V[0] = v / ||v||; v is not mutated and need not be normalized
+    (ref: run.jl:38, reinitialize! with j == 0)."""
+    v = v.astype(V.dtype)
+    return V.at[0].set(v / _norm(v))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def set_random_vector(V, j, key):
+    """V[j] = fresh random unit vector orthogonal to rows [0, j) — the
+    warm-start reinitialization (partialschur! with initialize=true)."""
+    m1, n = V.shape
+    mask = jnp.arange(m1) < j
+    v = jax.random.normal(key, (n,), dtype=V.dtype)
+    _, v = _masked_project(V, v, mask)
+    _, v = _masked_project(V, v, mask)
+    return V.at[j].set(v / _norm(v))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def apply_basis_change(V, Qbig):
+    """V <- Qbig^T @ V: one fixed-shape (m+1, m+1) x (m+1, n) GEMM
+    implements the Krylov-Schur truncation / final reordering of the basis
+    (ref: run.jl:363-365, 382-383 — there a tall-skinny GEMM into V_tmp;
+    here the row convention turns it into a small-by-wide matmul that
+    XLA maps straight onto the MXU with V sharded along n)."""
+    return Qbig.T @ V

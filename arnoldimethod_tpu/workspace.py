@@ -1,0 +1,72 @@
+"""Arnoldi workspace: the large arrays of the solver and their ownership.
+
+The device/host split follows the L3/L2 boundary of the algorithm
+(SURVEY.md §3.1): the n-sized Krylov basis V lives on device as a
+(maxdim+1, n) array (vectors are rows; n is the sharded axis), while the
+(maxdim+1) x maxdim Hessenberg matrix H is authoritative on host in
+float64/complex128 — the dense restart kernels run there and only freshly
+expanded columns ever round-trip through the device dtype.
+
+Behavioral reference: ArnoldiMethod.jl src/ArnoldiMethod.jl:41-93
+(ArnoldiWorkspace with V, H, V_tmp, Q).  V_tmp is unnecessary here (the
+basis change is a functional XLA GEMM with buffer donation) and Q is a
+transient of each restart.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ArnoldiWorkspace"]
+
+
+class ArnoldiWorkspace:
+    """Holds V ((maxdim+1, n) device array, basis vectors as rows) and H
+    ((maxdim+1, maxdim) host float64/complex128).  The Arnoldi relation
+    maintained is A @ V[:k].T = V[:k+1].T @ H[:k+1, :k].
+
+    Supports the same three uses as the reference type: fresh allocation,
+    warm restart from an existing decomposition (`partial_schur` with
+    start_from), and reuse across calls without reallocation.
+    """
+
+    def __init__(self, n, maxdim, dtype=jnp.float32, V=None, H=None, sharding=None):
+        if maxdim > n:
+            raise ValueError("Krylov dimension should be less than matrix order.")
+        if maxdim < 1:
+            raise ValueError("Krylov dimension must be at least 1.")
+        self.n = int(n)
+        self.maxdim = int(maxdim)
+
+        if V is None:
+            V = jnp.zeros((maxdim + 1, n), dtype=dtype)
+        else:
+            V = jnp.asarray(V, dtype=dtype)
+            if V.shape != (maxdim + 1, n):
+                raise ValueError(
+                    f"V must have shape {(maxdim + 1, n)}, got {V.shape}"
+                )
+        if sharding is not None:
+            V = jax.device_put(V, sharding)
+        self.V = V
+        self.sharding = sharding
+
+        host_dtype = (
+            np.complex128 if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating) else np.float64
+        )
+        if H is None:
+            H = np.zeros((maxdim + 1, maxdim), dtype=host_dtype)
+        else:
+            H = np.array(H, dtype=host_dtype)
+            if H.shape != (maxdim + 1, maxdim):
+                raise ValueError(
+                    f"H must have shape {(maxdim + 1, maxdim)}, got {H.shape}"
+                )
+        self.H = H
+
+    @property
+    def dtype(self):
+        return self.V.dtype
