@@ -271,15 +271,21 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, order_key, active
     k = max(mindim, active0)
     prods = k - active0
 
-    # Initial expansion to a mindim-sized relation.
+    # Initial expansion to a mindim-sized relation.  H transfers are always
+    # full-array (fixed shape): varying-shape slices would trigger a fresh
+    # XLA compile per distinct shape, which dominates wall-clock on a
+    # remote-tunneled TPU.  The host array stays authoritative for locked
+    # columns (no low-precision round trip of converged data).
     V, Hdev = expand_range(op, V, Hdev, active0, k, jax.random.fold_in(key, 0))
-    H[:, active0:k] = np.asarray(Hdev[:, active0:k], dtype=H.dtype)
+    Hpull = np.asarray(Hdev, dtype=H.dtype)
+    H[:, active0:k] = Hpull[:, active0:k]
 
     for it in range(1, restarts + 1):
         # Expand the Krylov subspace from k to maxdim (device).
         if k < m:
             V, Hdev = expand_range(op, V, Hdev, k, m, jax.random.fold_in(key, it))
-            H[:, k:m] = np.asarray(Hdev[:, k:m], dtype=H.dtype)
+            Hpull = np.asarray(Hdev, dtype=H.dtype)
+            H[:, k:m] = Hpull[:, k:m]
             prods += m - k
 
         # Dense restart phase (host, f64).

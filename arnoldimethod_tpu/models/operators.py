@@ -52,7 +52,9 @@ class DenseOperator(LinearOperator):
         self.dtype = self.A.dtype
 
     def matvec(self, x):
-        return self.A @ x
+        # Full-precision accumulation: TPU f32 matmuls default to bf16
+        # passes, which is not accurate enough for an eigensolver's matvec.
+        return jnp.matmul(self.A, x, precision=jax.lax.Precision.HIGHEST)
 
     def tree_flatten(self):
         return (self.A,), None

@@ -26,15 +26,21 @@ from jax import lax
 
 ETA = 0.7071067811865476  # sqrt(2)/2, the ARPACK DGKS constant
 
+# Orthogonalization accuracy is what the whole algorithm stands on: on TPU,
+# float32 matmuls default to bfloat16 MXU passes, which destroys the basis
+# orthogonality (residuals degrade from ~1e-6 to ~1e-2).  All projection /
+# basis-change contractions therefore request full-precision accumulation.
+_PREC = lax.Precision.HIGHEST
+
 
 def _norm(w):
-    return jnp.sqrt(jnp.real(jnp.vdot(w, w)))
+    return jnp.sqrt(jnp.real(jnp.vdot(w, w, precision=_PREC)))
 
 
 def _masked_project(V, w, mask):
     """h = V[:rows<=j]^H w and the projection update, fixed shape."""
-    h = jnp.where(mask, V.conj() @ w, 0)
-    return h, w - h @ V
+    h = jnp.where(mask, jnp.matmul(V.conj(), w, precision=_PREC), 0)
+    return h, w - jnp.matmul(h, V, precision=_PREC)
 
 
 def _dgks_orthogonalize(V, w, mask):
@@ -68,14 +74,16 @@ def _random_unit_vector(key, n, dtype, V, mask):
     return v / _norm(v)
 
 
-@partial(jax.jit, donate_argnums=(1, 2))
-def expand_range(op, V, H, j0, j1, key):
+def expand_range_impl(op, V, H, j0, j1, key):
     """Extend the Arnoldi relation A V[:j].T = V[:j+1].T H[:j+1, :j] by
     computing basis rows j0+1 .. j1 and H columns j0 .. j1-1.
 
     V: (maxdim+1, n) basis rows; H: (maxdim+1, maxdim) device Hessenberg
     (only columns [j0, j1) are written — the caller owns the authoritative
     host copy of older columns).  Returns updated (V, H).
+
+    Unjitted implementation — use `expand_range` (jitted, donating) from
+    the driver; this impl is reused by the fused multi-device step.
     """
     m1, n = V.shape
     rows = jnp.arange(m1)
@@ -111,6 +119,9 @@ def expand_range(op, V, H, j0, j1, key):
     return V, H
 
 
+expand_range = jax.jit(expand_range_impl, donate_argnums=(1, 2))
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def set_initial_vector(V, v):
     """V[0] = v / ||v||; v is not mutated and need not be normalized
@@ -138,4 +149,4 @@ def apply_basis_change(V, Qbig):
     (ref: run.jl:363-365, 382-383 — there a tall-skinny GEMM into V_tmp;
     here the row convention turns it into a small-by-wide matmul that
     XLA maps straight onto the MXU with V sharded along n)."""
-    return Qbig.T @ V
+    return jnp.matmul(Qbig.T, V, precision=_PREC)

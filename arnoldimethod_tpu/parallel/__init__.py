@@ -1,0 +1,15 @@
+from .mesh import (
+    basis_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_operator,
+    vector_sharding,
+)
+
+__all__ = [
+    "make_mesh",
+    "basis_sharding",
+    "vector_sharding",
+    "replicated_sharding",
+    "shard_operator",
+]
