@@ -23,12 +23,14 @@ from .targets import LI, LM, LR, SI, SR, Target
 from .workspace import ArnoldiWorkspace
 from .models.operators import (
     DenseOperator,
+    DiaOperator,
     EllOperator,
     FunctionOperator,
     LinearOperator,
     ShiftInvertDenseOperator,
     as_operator,
     csr_to_ell,
+    dia_from_diagonals,
 )
 
 __version__ = "0.1.0"
@@ -47,6 +49,8 @@ __all__ = [
     "SI",
     "LinearOperator",
     "DenseOperator",
+    "DiaOperator",
+    "dia_from_diagonals",
     "EllOperator",
     "FunctionOperator",
     "ShiftInvertDenseOperator",

@@ -1,17 +1,21 @@
 from .operators import (
     DenseOperator,
+    DiaOperator,
     EllOperator,
     FunctionOperator,
     LinearOperator,
     ShiftInvertDenseOperator,
     as_operator,
     csr_to_ell,
+    dia_from_diagonals,
 )
 from .problems import convection_diffusion_2d, laplacian_1d, laplacian_2d, tridiagonal
 
 __all__ = [
     "LinearOperator",
     "DenseOperator",
+    "DiaOperator",
+    "dia_from_diagonals",
     "EllOperator",
     "FunctionOperator",
     "ShiftInvertDenseOperator",

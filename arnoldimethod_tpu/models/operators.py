@@ -96,6 +96,67 @@ class EllOperator(LinearOperator):
         return cls(children[0], children[1], aux)
 
 
+@register_pytree_node_class
+class DiaOperator(LinearOperator):
+    """Sparse matrix in DIA (diagonal) format: `offsets` is a static tuple
+    of diagonal offsets, `diags` is (ndiag, n) with
+    diags[d, i] = A[i, i + offsets[d]] (zero where out of range).
+
+    This is the speed-of-light TPU layout for banded/stencil matrices
+    (Laplacians, convection-diffusion — every matrix in the reference's
+    README/bench set): the matvec is ndiag fused multiply-adds on
+    statically shifted views of x — no gather at all, pure VPU work at HBM
+    bandwidth.  Under a row-sharded mesh the static shifts become exactly
+    the neighbor halo exchanges (XLA inserts collective-permutes).
+    """
+
+    def __init__(self, diags, offsets, shape):
+        self.diags = diags if isinstance(diags, jax.Array) else jnp.asarray(diags)
+        self.offsets = tuple(int(o) for o in offsets)
+        self.shape = tuple(shape)
+        self.dtype = self.diags.dtype
+
+    @property
+    def nnz(self):
+        return int(self.diags.size)
+
+    def matvec(self, x):
+        n = self.shape[0]
+        lo = max(0, -min(self.offsets))
+        hi = max(0, max(self.offsets))
+        xp = jnp.pad(x, (lo, hi))
+        y = self.diags[0] * jax.lax.slice(xp, (lo + self.offsets[0],), (lo + self.offsets[0] + n,))
+        for d in range(1, len(self.offsets)):
+            off = self.offsets[d]
+            y = y + self.diags[d] * jax.lax.slice(xp, (lo + off,), (lo + off + n,))
+        return y
+
+    def tree_flatten(self):
+        return (self.diags,), (self.offsets, self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+
+def dia_from_diagonals(diagonals, shape, dtype=None):
+    """Build a DiaOperator from {offset: values}: values may be a scalar
+    (constant diagonal) or an array of length n; entry d of the diagonal at
+    `offset` multiplies x[i + offset] in row i.  Out-of-range positions are
+    zeroed."""
+    offsets = sorted(diagonals)
+    n = shape[0]
+    dtype = dtype or np.float64
+    diags = np.zeros((len(offsets), n), dtype=dtype)
+    for d, off in enumerate(offsets):
+        diags[d, :] = diagonals[off]
+        if off > 0:
+            diags[d, n - off :] = 0
+        elif off < 0:
+            diags[d, :-off] = 0
+    return DiaOperator(diags, offsets, shape)
+
+
 def csr_to_ell(indptr, indices, data, shape, dtype=None):
     """Convert CSR arrays to the padded ELL layout (host-side)."""
     indptr = np.asarray(indptr)

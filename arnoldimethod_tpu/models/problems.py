@@ -1,100 +1,99 @@
-"""Model problems: standard test/benchmark matrices as ELL operators.
+"""Model problems: standard test/benchmark matrices as sparse operators.
 
 These mirror the matrices used throughout the reference's README, docs and
 bench harnesses (1-D Laplacian readme.md:30-34, n=6000 tridiagonal
 bench/partial_schur.jl:9, 2-D Laplacian / convection-diffusion from
 BASELINE.json configs).
+
+Each builder returns the DIA (diagonal) layout by default — the
+speed-of-light format for stencil matrices on TPU (no gather, pure
+streaming) — or padded ELL with fmt="ell" (the general-sparse layout that
+exercises the gather/Pallas path).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from .operators import EllOperator
+from .operators import DiaOperator, EllOperator
 
 __all__ = ["laplacian_1d", "tridiagonal", "laplacian_2d", "convection_diffusion_2d"]
 
 
-def tridiagonal(n, lower, diag, upper, dtype=np.float64):
-    """Tridiagonal Toeplitz matrix as an ELL operator."""
-    data = np.zeros((n, 3), dtype=dtype)
-    cols = np.zeros((n, 3), dtype=np.int32)
+def _dia(offset_values, n, dtype):
+    offsets = sorted(offset_values)
+    diags = np.zeros((len(offsets), n), dtype=dtype)
+    for d, off in enumerate(offsets):
+        diags[d] = offset_values[off]
+        if off > 0:
+            diags[d, n - off :] = 0
+        elif off < 0:
+            diags[d, : -off] = 0
+    return DiaOperator(diags, offsets, (n, n))
+
+
+def _ell_from_dia(offset_values, n, dtype):
+    offsets = sorted(offset_values)
+    K = len(offsets)
+    data = np.zeros((n, K), dtype=dtype)
+    cols = np.zeros((n, K), dtype=np.int32)
     i = np.arange(n)
-    data[:, 1] = diag
-    cols[:, 1] = i
-    data[1:, 0] = lower
-    cols[1:, 0] = i[1:] - 1
-    data[:-1, 2] = upper
-    cols[:-1, 2] = i[:-1] + 1
+    for d, off in enumerate(offsets):
+        valid = (i + off >= 0) & (i + off < n)
+        vals = np.broadcast_to(np.asarray(offset_values[off], dtype=dtype), (n,))
+        data[valid, d] = vals[valid]
+        cols[valid, d] = i[valid] + off
     return EllOperator(data, cols, (n, n))
 
 
-def laplacian_1d(n, dtype=np.float64):
+def _build(offset_values, n, dtype, fmt):
+    if fmt == "dia":
+        return _dia(offset_values, n, dtype)
+    if fmt == "ell":
+        return _ell_from_dia(offset_values, n, dtype)
+    raise ValueError(f"unknown sparse format {fmt!r}")
+
+
+def tridiagonal(n, lower, diag, upper, dtype=np.float64, fmt="dia"):
+    """Tridiagonal Toeplitz matrix."""
+    return _build({-1: lower, 0: diag, 1: upper}, n, dtype, fmt)
+
+
+def laplacian_1d(n, dtype=np.float64, fmt="dia"):
     """1-D Laplacian (-1, 2, -1): the README parity matrix
     (ref: readme.md:30-34)."""
-    return tridiagonal(n, -1.0, 2.0, -1.0, dtype=dtype)
+    return tridiagonal(n, -1.0, 2.0, -1.0, dtype=dtype, fmt=fmt)
 
 
-def laplacian_2d(nx, ny=None, dtype=np.float64):
+def _grid_2d(nx, ny, center, west, east, north, south, dtype, fmt):
+    n = nx * ny
+    i = np.arange(n)
+    in_row_left = i % nx != 0  # has a west neighbor
+    in_row_right = i % nx != nx - 1  # has an east neighbor
+    offset_values = {
+        -nx: np.full(n, north, dtype=dtype),
+        -1: np.where(in_row_left, west, 0.0).astype(dtype),
+        0: np.full(n, center, dtype=dtype),
+        1: np.where(in_row_right, east, 0.0).astype(dtype),
+        nx: np.full(n, south, dtype=dtype),
+    }
+    return _build(offset_values, n, dtype, fmt)
+
+
+def laplacian_2d(nx, ny=None, dtype=np.float64, fmt="dia"):
     """2-D 5-point Laplacian on an nx-by-ny grid (row-major ordering),
     n = nx*ny rows with <= 5 nonzeros per row."""
     if ny is None:
         ny = nx
-    n = nx * ny
-    data = np.zeros((n, 5), dtype=dtype)
-    cols = np.zeros((n, 5), dtype=np.int32)
-    idx = np.arange(n).reshape(ny, nx)
-
-    flat = idx.ravel()
-    data[:, 2] = 4.0
-    cols[:, 2] = flat
-
-    # West / east neighbours.
-    west = idx[:, 1:].ravel()
-    data[west, 1] = -1.0
-    cols[west, 1] = west - 1
-    east = idx[:, :-1].ravel()
-    data[east, 3] = -1.0
-    cols[east, 3] = east + 1
-
-    # North / south neighbours.
-    north = idx[1:, :].ravel()
-    data[north, 0] = -1.0
-    cols[north, 0] = north - nx
-    south = idx[:-1, :].ravel()
-    data[south, 4] = -1.0
-    cols[south, 4] = south + nx
-
-    return EllOperator(data, cols, (n, n))
+    return _grid_2d(nx, ny, 4.0, -1.0, -1.0, -1.0, -1.0, dtype, fmt)
 
 
-def convection_diffusion_2d(nx, ny=None, peclet=10.0, dtype=np.float64):
-    """Nonsymmetric 2-D convection-diffusion (upwind convection in x):
-    produces complex conjugate eigenvalue pairs for the 2x2-block real
-    Schur path (BASELINE.json config 3)."""
+def convection_diffusion_2d(nx, ny=None, peclet=10.0, dtype=np.float64, fmt="dia"):
+    """Nonsymmetric 2-D convection-diffusion (central-difference convection
+    in x): produces complex conjugate eigenvalue pairs for the 2x2-block
+    real Schur path (BASELINE.json config 3)."""
     if ny is None:
         ny = nx
-    n = nx * ny
     h = 1.0 / (nx + 1)
     beta = peclet * h / 2.0
-    data = np.zeros((n, 5), dtype=dtype)
-    cols = np.zeros((n, 5), dtype=np.int32)
-    idx = np.arange(n).reshape(ny, nx)
-    flat = idx.ravel()
-    data[:, 2] = 4.0
-    cols[:, 2] = flat
-
-    west = idx[:, 1:].ravel()
-    data[west, 1] = -1.0 - beta
-    cols[west, 1] = west - 1
-    east = idx[:, :-1].ravel()
-    data[east, 3] = -1.0 + beta
-    cols[east, 3] = east + 1
-    north = idx[1:, :].ravel()
-    data[north, 0] = -1.0
-    cols[north, 0] = north - nx
-    south = idx[:-1, :].ravel()
-    data[south, 4] = -1.0
-    cols[south, 4] = south + nx
-
-    return EllOperator(data, cols, (n, n))
+    return _grid_2d(nx, ny, 4.0, -1.0 - beta, -1.0 + beta, -1.0, -1.0, dtype, fmt)

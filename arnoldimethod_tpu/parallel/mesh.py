@@ -26,7 +26,7 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.operators import DenseOperator, EllOperator
+from ..models.operators import DenseOperator, DiaOperator, EllOperator
 
 __all__ = [
     "make_mesh",
@@ -78,6 +78,13 @@ def shard_operator(op, mesh):
             f"size ({ndev}); pad the problem to a multiple first"
         )
     rowwise = NamedSharding(mesh, P(ROWS, None))
+    if isinstance(op, DiaOperator):
+        # diags is (ndiag, n): the row axis is the second one.
+        return DiaOperator(
+            jax.device_put(op.diags, NamedSharding(mesh, P(None, ROWS))),
+            op.offsets,
+            op.shape,
+        )
     if isinstance(op, EllOperator):
         return EllOperator(
             jax.device_put(op.data, rowwise),

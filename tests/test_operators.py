@@ -1,0 +1,124 @@
+"""Operator layer tests: DIA / ELL / dense matvec agreement on the model
+problems, CSR conversion, the function-operator wrapper, and shift-invert."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from arnoldimethod_tpu import partial_schur
+from arnoldimethod_tpu.models import (
+    DenseOperator,
+    FunctionOperator,
+    ShiftInvertDenseOperator,
+    as_operator,
+    convection_diffusion_2d,
+    csr_to_ell,
+    dia_from_diagonals,
+    laplacian_1d,
+    laplacian_2d,
+    tridiagonal,
+)
+
+
+def _to_dense(op):
+    n = op.shape[0]
+    A = np.zeros((n, n), dtype=np.dtype(op.dtype))
+    for i in range(n):
+        e = np.zeros(n, dtype=A.dtype)
+        e[i] = 1
+        A[:, i] = np.asarray(op.matvec(jnp.asarray(e)))
+    return A
+
+
+@pytest.mark.parametrize(
+    "builder,args",
+    [
+        (laplacian_1d, (17,)),
+        (tridiagonal, (12, -1.0, 2.0, -1.001)),
+        (laplacian_2d, (5, 4)),
+        (convection_diffusion_2d, (5, 4)),
+    ],
+)
+def test_dia_ell_agree(builder, args):
+    op_dia = builder(*args, fmt="dia")
+    op_ell = builder(*args, fmt="ell")
+    A_dia = _to_dense(op_dia)
+    A_ell = _to_dense(op_ell)
+    assert np.array_equal(A_dia, A_ell)
+
+
+def test_laplacian_2d_structure():
+    A = _to_dense(laplacian_2d(3, 3))
+    # Row 4 (grid center) has all four neighbors.
+    assert A[4, 4] == 4 and A[4, 3] == A[4, 5] == A[4, 1] == A[4, 7] == -1
+    # Row 2 (end of first grid row) has no east neighbor.
+    assert A[2, 3] == 0
+    assert np.array_equal(A, A.T)
+
+
+def test_convection_diffusion_nonsymmetric():
+    A = _to_dense(convection_diffusion_2d(6, 6, peclet=50.0))
+    assert not np.allclose(A, A.T)
+    lams = np.linalg.eigvals(A)
+    assert np.any(np.abs(lams.imag) > 1e-8)
+
+
+def test_csr_to_ell():
+    # 4x4 with irregular row lengths.
+    indptr = np.array([0, 2, 3, 6, 6])
+    indices = np.array([0, 2, 1, 0, 2, 3])
+    data = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+    op = csr_to_ell(indptr, indices, data, (4, 4))
+    A = _to_dense(op)
+    want = np.array(
+        [
+            [1.0, 0, 2.0, 0],
+            [0, 3.0, 0, 0],
+            [4.0, 0, 5.0, 6.0],
+            [0, 0, 0, 0],
+        ]
+    )
+    assert np.array_equal(A, want)
+
+
+def test_dia_from_diagonals():
+    op = dia_from_diagonals({-2: 1.0, 0: 3.0, 1: np.arange(6, dtype=float)}, (6, 6))
+    A = _to_dense(op)
+    assert np.all(np.diag(A) == 3.0)
+    assert np.all(np.diag(A, -2) == 1.0)
+    assert np.allclose(np.diag(A, 1), np.arange(5))
+
+
+def test_function_operator():
+    n = 16
+    d = jnp.arange(1.0, n + 1)
+    op = FunctionOperator(lambda x: d * x, n, np.float64)
+    decomp, history = partial_schur(op, nev=3, which="LM", tol=1e-10)
+    assert history.converged
+    assert np.allclose(
+        np.sort(decomp.eigenvalues.real)[::-1][:3], [16.0, 15.0, 14.0], atol=1e-8
+    )
+
+
+def test_function_operator_requires_metadata():
+    with pytest.raises(ValueError):
+        as_operator(lambda x: x)
+
+
+def test_shift_invert_dense():
+    """Shift-invert targeting interior eigenvalues: find the eigenvalues of
+    the 1-D Laplacian closest to sigma via LM on (A - sigma I)^{-1}
+    (ref: docs/src/index.md:234-303 recipe)."""
+    n = 64
+    op = laplacian_1d(n)
+    A = _to_dense(op)
+    sigma = 1.0
+    si = ShiftInvertDenseOperator.build(A, sigma)
+    decomp, history = partial_schur(si, nev=4, which="LM", tol=1e-9)
+    assert history.converged
+    # Map back: lambda = sigma + 1/theta.
+    lams = sigma + 1.0 / decomp.eigenvalues.real
+    exact = 2 - 2 * np.cos(np.pi * np.arange(1, n + 1) / (n + 1))
+    nearest = exact[np.argsort(np.abs(exact - sigma))][:4]
+    assert np.allclose(np.sort(lams), np.sort(nearest), atol=1e-7)

@@ -60,13 +60,13 @@ def test_sharded_2d_laplacian_residual():
     )
     assert history.converged
 
-    # Verify the residual with a dense reconstruction.
+    # Verify the residual with a dense reconstruction via matvecs.
     n = op.shape[0]
     A = np.zeros((n, n))
-    data, cols = np.asarray(op.data), np.asarray(op.cols)
     for i in range(n):
-        for t in range(data.shape[1]):
-            A[i, cols[i, t]] += data[i, t]
+        e = np.zeros(n)
+        e[i] = 1
+        A[:, i] = np.asarray(op.matvec(jnp.asarray(e)))
     Q = np.asarray(decomp.Q)
     R = np.asarray(decomp.R)
     assert np.linalg.norm(A @ Q - Q @ R) < 1e-6
