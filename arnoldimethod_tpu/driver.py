@@ -30,6 +30,7 @@ from .dense.swaps import (
     rotate_right,
     swap,
 )
+from .dense import native as _native
 from .models.operators import as_operator
 from .ops.expansion import (
     apply_basis_change,
@@ -187,6 +188,7 @@ def partial_schur(
     n = op.shape[0]
     if op.shape[0] != op.shape[1]:
         raise ValueError("matrix is not square")
+    target = as_target(which)
 
     if nev is None:
         nev = min(6, n)
@@ -208,7 +210,7 @@ def partial_schur(
     # Working dtype: follow the operator (canonicalized under the current
     # x64 setting), like the reference's vtype genericity.
     work_dtype = jnp.zeros(0, dtype=op.dtype).dtype
-    order_key = get_order(as_target(which))
+    order_key = get_order(target)
     if tol is None:
         tol = float(np.sqrt(jnp.finfo(work_dtype).eps))
 
@@ -246,13 +248,17 @@ def partial_schur(
             )
 
     schur, history = _partial_schur(
-        op, ws, mindim, maxdim, nev, tol, restarts, order_key, active0, key
+        op, ws, mindim, maxdim, nev, tol, restarts, target, order_key, active0, key
     )
     return schur, history
 
 
-def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, order_key, active0, key):
+def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key, active0, key):
     m = maxdim
+    # Dense restart kernels: native C++ fast path when the library is built
+    # and the workspace fits its scratch buffers; the numpy layer is the
+    # tested reference fallback (identical semantics).
+    use_native = _native.available() and m + 1 <= _native.MAX_DIM
     n = op.shape[0]
     H = ws.H  # host authority, float64/complex128
     V = ws.V
@@ -290,10 +296,14 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, order_key, active
 
         # Dense restart phase (host, f64).
         Q = np.eye(m, dtype=H.dtype)
-        local_schur(H[:m, :], active, m, Q)
-
-        copy_eigenvalues(lams, H[:m, :], 0, m)
-        _copy_residuals(rs, H, Q, H[m, m - 1], x, active, m)
+        if use_native:
+            _native.local_schur(H[:m, :], active, m, Q)
+            _native.copy_eigenvalues(lams, H[:m, :], 0, m)
+            _native.copy_residuals(rs, H[:m, :], Q, H[m, m - 1], active, m)
+        else:
+            local_schur(H[:m, :], active, m, Q)
+            copy_eigenvalues(lams, H[:m, :], 0, m)
+            _copy_residuals(rs, H, Q, H[m, m - 1], x, active, m)
         ord_ = np.array(
             sorted(range(m), key=lambda i: (order_key(lams[i]), i))
         )
@@ -339,10 +349,12 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, order_key, active
         while purge < active and groups[purge] == 1:
             purge += 1
 
-        _partition_three_way(H[:m, :], Q, groups)
-
-        # Restore the Hessenberg structure of the new active part.
-        restore_arnoldi(H, nlock, k, Q)
+        if use_native:
+            _native.partition_three_way(H[:m, :], Q, groups)
+            _native.restore_arnoldi(H, nlock, k, Q)
+        else:
+            _partition_three_way(H[:m, :], Q, groups)
+            restore_arnoldi(H, nlock, k, Q)
 
         # Single fixed-shape basis-change GEMM: columns [purge, k) from Q,
         # row k takes the old row m (the next-vector slot), everything else
@@ -363,13 +375,19 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, order_key, active
 
     # Sort the converged eigenvalues in the user's target order.
     Q = np.eye(m, dtype=H.dtype)
-    _sort_schur(H[:m, :], Q, nconverged, order_key)
+    if use_native:
+        _native.sort_schur(H[:m, :], Q, nconverged, type(target).__name__)
+    else:
+        _sort_schur(H[:m, :], Q, nconverged, order_key)
     Qbig = np.eye(m + 1, dtype=H.dtype)
     Qbig[:m, :m] = Q
     V = apply_basis_change(V, jnp.asarray(Qbig, dtype=ws.dtype))
 
     if nconverged > 0:
-        copy_eigenvalues(lams, H[:m, :], 0, nconverged)
+        if use_native:
+            _native.copy_eigenvalues(lams, H[:m, :], 0, nconverged)
+        else:
+            copy_eigenvalues(lams, H[:m, :], 0, nconverged)
 
     ws.V = V
 
