@@ -20,6 +20,7 @@ ShiftInvertDenseOperator) and model problems under .models.
 from .driver import History, PartialSchur, partial_schur
 from .eigen import partial_eigen
 from .targets import LI, LM, LR, SI, SR, Target
+from .transforms import BInnerProductOperator, GeneralizedShiftInvertOperator
 from .workspace import ArnoldiWorkspace
 from .models.operators import (
     DenseOperator,
@@ -54,6 +55,8 @@ __all__ = [
     "EllOperator",
     "FunctionOperator",
     "ShiftInvertDenseOperator",
+    "GeneralizedShiftInvertOperator",
+    "BInnerProductOperator",
     "as_operator",
     "csr_to_ell",
 ]

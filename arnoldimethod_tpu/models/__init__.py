@@ -5,6 +5,7 @@ from .operators import (
     FunctionOperator,
     LinearOperator,
     ShiftInvertDenseOperator,
+    Stencil5Operator,
     as_operator,
     csr_to_ell,
     dia_from_diagonals,
@@ -19,6 +20,7 @@ __all__ = [
     "EllOperator",
     "FunctionOperator",
     "ShiftInvertDenseOperator",
+    "Stencil5Operator",
     "as_operator",
     "csr_to_ell",
     "laplacian_1d",

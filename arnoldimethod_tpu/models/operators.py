@@ -57,11 +57,16 @@ class DenseOperator(LinearOperator):
         return jnp.matmul(self.A, x, precision=jax.lax.Precision.HIGHEST)
 
     def tree_flatten(self):
-        return (self.A,), None
+        return (self.A,), (self.shape, self.dtype)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0])
+        # Children may be tracers/sentinels during jit transforms: bypass
+        # __init__'s array coercion entirely.
+        obj = object.__new__(cls)
+        obj.A = children[0]
+        obj.shape, obj.dtype = aux
+        return obj
 
 
 @register_pytree_node_class
@@ -89,11 +94,14 @@ class EllOperator(LinearOperator):
         return jnp.sum(self.data * x[self.cols], axis=1)
 
     def tree_flatten(self):
-        return (self.data, self.cols), self.shape
+        return (self.data, self.cols), (self.shape, self.dtype)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux)
+        obj = object.__new__(cls)
+        obj.data, obj.cols = children
+        obj.shape, obj.dtype = aux
+        return obj
 
 
 @register_pytree_node_class
@@ -132,11 +140,66 @@ class DiaOperator(LinearOperator):
         return y
 
     def tree_flatten(self):
-        return (self.diags,), (self.offsets, self.shape)
+        return (self.diags,), (self.offsets, self.shape, self.dtype)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], aux[0], aux[1])
+        obj = object.__new__(cls)
+        obj.diags = children[0]
+        obj.offsets, obj.shape, obj.dtype = aux
+        return obj
+
+
+@register_pytree_node_class
+class Stencil5Operator(LinearOperator):
+    """Constant-coefficient 5-point stencil on an (ny, nx) grid, acting on
+    flattened row-major vectors of length n = ny*nx.
+
+    The matvec reshapes x to the grid (free, layout-preserving) and applies
+    the stencil with 2-D shifts; Dirichlet boundaries fall out of the 2-D
+    slicing automatically.  Since the coefficients are scalars, the only
+    HBM traffic is x and y themselves — the speed-of-light formulation for
+    grid Laplacians / convection-diffusion (BASELINE.json configs 2-3).
+    """
+
+    def __init__(self, coeffs, grid, dtype=jnp.float32):
+        # coeffs: (center, west, east, north, south) scalars.
+        self.coeffs = tuple(float(c) for c in coeffs)
+        self.grid = (int(grid[0]), int(grid[1]))  # (ny, nx)
+        n = self.grid[0] * self.grid[1]
+        self.shape = (n, n)
+        self.dtype = jnp.dtype(dtype)
+
+    @property
+    def nnz(self):
+        ny, nx = self.grid
+        n = ny * nx
+        # center everywhere; west/east miss one column; north/south one row.
+        return n + 2 * ny * (nx - 1) + 2 * (ny - 1) * nx
+
+    def matvec(self, x):
+        ny, nx = self.grid
+        c, w, e, no, so = self.coeffs
+        g = x.reshape(ny, nx)
+        # One zero-padded halo + five shifted reads in a single fused
+        # elementwise expression (XLA fuses this into one pass over the
+        # grid; scatter-style .at[].add updates would not fuse).
+        gp = jnp.pad(g, ((1, 1), (1, 1)))
+        y = (
+            c * g
+            + w * gp[1:-1, :-2]
+            + e * gp[1:-1, 2:]
+            + no * gp[:-2, 1:-1]
+            + so * gp[2:, 1:-1]
+        )
+        return y.reshape(ny * nx)
+
+    def tree_flatten(self):
+        return (), (self.coeffs, self.grid, self.dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux)
 
 
 def dia_from_diagonals(diagonals, shape, dtype=None):
@@ -225,11 +288,14 @@ class ShiftInvertDenseOperator(LinearOperator):
         return jax.scipy.linalg.lu_solve((self.lu, self.piv), x)
 
     def tree_flatten(self):
-        return (self.lu, self.piv, self.sigma), self.shape
+        return (self.lu, self.piv, self.sigma), (self.shape, self.dtype)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], children[2], aux)
+        obj = object.__new__(cls)
+        obj.lu, obj.piv, obj.sigma = children
+        obj.shape, obj.dtype = aux
+        return obj
 
 
 def as_operator(A, n=None, dtype=None):

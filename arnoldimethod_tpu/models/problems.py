@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .operators import DiaOperator, EllOperator
+from .operators import DiaOperator, EllOperator, Stencil5Operator
 
 __all__ = ["laplacian_1d", "tridiagonal", "laplacian_2d", "convection_diffusion_2d"]
 
@@ -66,6 +66,8 @@ def laplacian_1d(n, dtype=np.float64, fmt="dia"):
 
 
 def _grid_2d(nx, ny, center, west, east, north, south, dtype, fmt):
+    if fmt == "stencil":
+        return Stencil5Operator((center, west, east, north, south), (ny, nx), dtype=dtype)
     n = nx * ny
     i = np.arange(n)
     in_row_left = i % nx != 0  # has a west neighbor

@@ -54,16 +54,21 @@ def spmv_throughput(grid=1024, iters=50):
 
     op = laplacian_2d(grid, grid, dtype=np.float32)
     n = op.shape[0]
-    nnz = int(np.count_nonzero(np.asarray(op.data)))
+    nnz = int(np.count_nonzero(np.asarray(op.diags)))
 
     x = jnp.ones(n, dtype=jnp.float32)
-    mv = jax.jit(op.matvec)
-    y = mv(x)
+
+    # One fused device loop: per-call dispatch latency (significant through
+    # a remote TPU tunnel) must not pollute the kernel throughput number.
+    @jax.jit
+    def run(y, steps):
+        return jax.lax.fori_loop(0, steps, lambda i, y: op.matvec(y) * 0.125, y)
+
+    y = run(x, 2)
     jax.block_until_ready(y)  # warm-up / compile
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        y = mv(y / jnp.linalg.norm(y))
+    y = run(x, iters)
     jax.block_until_ready(y)
     dt = (time.perf_counter() - t0) / iters
     return nnz / dt, nnz, dt
