@@ -47,13 +47,15 @@ __all__ = ["History", "PartialSchur", "partial_schur"]
 class History:
     """Convergence summary: matrix-vector product count, number of
     converged eigenvalues, and whether the request was met
-    (ref: run.jl:211-222, show.jl)."""
+    (ref: run.jl:211-222, show.jl).  `restarts` additionally counts the
+    Krylov-Schur restart cycles (observability beyond the reference)."""
 
-    def __init__(self, mvproducts, nconverged, converged, nev):
+    def __init__(self, mvproducts, nconverged, converged, nev, restarts=0):
         self.mvproducts = mvproducts
         self.nconverged = nconverged
         self.converged = converged
         self.nev = nev
+        self.restarts = restarts
 
     def __repr__(self):
         status = "Converged" if self.converged else "Not converged"
@@ -286,11 +288,15 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
     Hpull = np.asarray(Hdev, dtype=H.dtype)
     H[:, active0:k] = Hpull[:, active0:k]
 
+    it = 0
     for it in range(1, restarts + 1):
         # Expand the Krylov subspace from k to maxdim (device).
         if k < m:
-            V, Hdev = expand_range(op, V, Hdev, k, m, jax.random.fold_in(key, it))
-            Hpull = np.asarray(Hdev, dtype=H.dtype)
+            with jax.profiler.TraceAnnotation("arnoldi:expand"):
+                V, Hdev = expand_range(
+                    op, V, Hdev, k, m, jax.random.fold_in(key, it)
+                )
+                Hpull = np.asarray(Hdev, dtype=H.dtype)
             H[:, k:m] = Hpull[:, k:m]
             prods += m - k
 
@@ -365,7 +371,8 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
         if k < m:
             Qbig[:, k] = 0
             Qbig[m, k] = 1
-        V = apply_basis_change(V, jnp.asarray(Qbig, dtype=ws.dtype))
+        with jax.profiler.TraceAnnotation("arnoldi:basis_change"):
+            V = apply_basis_change(V, jnp.asarray(Qbig, dtype=ws.dtype))
 
         active = nlock
         if active >= nev:
@@ -391,7 +398,7 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
 
     ws.V = V
 
-    history = History(prods, nconverged, nconverged >= nev, nev)
+    history = History(prods, nconverged, nconverged >= nev, nev, restarts=it)
     schur = PartialSchur(
         V[:nconverged].T,
         H[:nconverged, :nconverged].copy(),

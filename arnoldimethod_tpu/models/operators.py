@@ -162,13 +162,18 @@ class Stencil5Operator(LinearOperator):
     grid Laplacians / convection-diffusion (BASELINE.json configs 2-3).
     """
 
-    def __init__(self, coeffs, grid, dtype=jnp.float32):
+    def __init__(self, coeffs, grid, dtype=jnp.float32, use_pallas=None):
         # coeffs: (center, west, east, north, south) scalars.
         self.coeffs = tuple(float(c) for c in coeffs)
         self.grid = (int(grid[0]), int(grid[1]))  # (ny, nx)
         n = self.grid[0] * self.grid[1]
         self.shape = (n, n)
         self.dtype = jnp.dtype(dtype)
+        # None = auto: the Pallas halo-DMA kernel on a single TPU chip
+        # (~5x the fused-XLA formulation), XLA elsewhere.  Sharded
+        # multi-chip runs use the XLA path (its shifts become halo
+        # collectives under GSPMD); pass use_pallas=False explicitly there.
+        self.use_pallas = use_pallas
 
     @property
     def nnz(self):
@@ -179,6 +184,19 @@ class Stencil5Operator(LinearOperator):
 
     def matvec(self, x):
         ny, nx = self.grid
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and jax.device_count() == 1
+                and ny % 8 == 0
+                and nx % 128 == 0
+            )
+        if use_pallas:
+            from ..ops.stencil_pallas import stencil5_matvec
+
+            return stencil5_matvec(x, coeffs=self.coeffs, grid=self.grid)
+
         c, w, e, no, so = self.coeffs
         g = x.reshape(ny, nx)
         # One zero-padded halo + five shifted reads in a single fused
@@ -195,7 +213,7 @@ class Stencil5Operator(LinearOperator):
         return y.reshape(ny * nx)
 
     def tree_flatten(self):
-        return (), (self.coeffs, self.grid, self.dtype)
+        return (), (self.coeffs, self.grid, self.dtype, self.use_pallas)
 
     @classmethod
     def tree_unflatten(cls, aux, children):

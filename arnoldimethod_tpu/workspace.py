@@ -70,3 +70,35 @@ class ArnoldiWorkspace:
     @property
     def dtype(self):
         return self.V.dtype
+
+    # -- Checkpoint / resume ------------------------------------------------
+    #
+    # The workspace *is* the solver's checkpoint (ref: run.jl:131-179 —
+    # partialschur! with start_from): V holds the locked Schur vectors, H
+    # the locked R block.  Together with `partial_schur(...,
+    # workspace=ws, start_from=nconverged)` a run can resume after a
+    # restart, change nev/tol, or move between hosts.
+
+    def save(self, path):
+        """Serialize to an .npz file (host-side; V is fetched)."""
+        np.savez(
+            path,
+            V=np.asarray(self.V),
+            H=self.H,
+            n=self.n,
+            maxdim=self.maxdim,
+            dtype=str(self.V.dtype),
+        )
+
+    @classmethod
+    def load(cls, path, sharding=None):
+        """Restore a workspace saved with `save`."""
+        with np.load(path, allow_pickle=False) as f:
+            return cls(
+                int(f["n"]),
+                int(f["maxdim"]),
+                dtype=jnp.dtype(str(f["dtype"])),
+                V=f["V"],
+                H=f["H"],
+                sharding=sharding,
+            )
