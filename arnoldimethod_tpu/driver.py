@@ -43,6 +43,30 @@ from .workspace import ArnoldiWorkspace
 
 __all__ = ["History", "PartialSchur", "partial_schur"]
 
+import os
+
+# Debug assertions (SURVEY.md §5: the numerical analogue of sanitizers):
+# with ARNOLDI_TPU_DEBUG=1, every restart validates finiteness of H and the
+# orthonormality of the basis (the latter pulls V — debug only).
+_DEBUG = os.environ.get("ARNOLDI_TPU_DEBUG", "0") != "0"
+
+
+def _debug_checks(H, V, k, it):
+    if not np.isfinite(H).all():
+        raise FloatingPointError(
+            f"non-finite Hessenberg entries after restart {it}"
+        )
+    # Rows [0, k) are the basis proper; row k (the next-vector slot) is
+    # legitimately ~0 when the Krylov space is exhausted.
+    Vn = np.asarray(V[:k])
+    G = Vn.conj() @ Vn.T
+    err = float(np.linalg.norm(G - np.eye(k)))
+    limit = 1e-3 if Vn.real.dtype == np.float32 else 1e-8
+    if err > limit:
+        raise FloatingPointError(
+            f"basis orthonormality lost after restart {it}: ||V V^H - I|| = {err:.2e}"
+        )
+
 
 class History:
     """Convergence summary: matrix-vector product count, number of
@@ -373,6 +397,9 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
             Qbig[m, k] = 1
         with jax.profiler.TraceAnnotation("arnoldi:basis_change"):
             V = apply_basis_change(V, jnp.asarray(Qbig, dtype=ws.dtype))
+
+        if _DEBUG:
+            _debug_checks(H, V, k, it)
 
         active = nlock
         if active >= nev:

@@ -37,6 +37,14 @@ def readme_parity():
     jax.block_until_ready(decomp.Q)
     wall = time.perf_counter() - t0
 
+    # Second run: every device program is already compiled, so this is the
+    # steady-state solve time (the first run is compile-dominated when the
+    # TPU sits behind a remote compile service).
+    t0 = time.perf_counter()
+    decomp, history = partial_schur(op, nev=10, which="SR", tol=1e-6)
+    jax.block_until_ready(decomp.Q)
+    warm_wall = time.perf_counter() - t0
+
     # Residual check on host.
     A = (
         np.diag(np.full(100, 2.0))
@@ -46,7 +54,7 @@ def readme_parity():
     Q = np.asarray(decomp.Q, dtype=np.float64)
     R = np.asarray(decomp.R)
     resid = float(np.linalg.norm(A @ Q - Q @ R))
-    return history, wall, resid
+    return history, wall, warm_wall, resid
 
 
 def spmv_throughput(grid=1024, iters=50):
@@ -62,6 +70,7 @@ def spmv_throughput(grid=1024, iters=50):
 
     # One fused device loop: per-call dispatch latency (significant through
     # a remote TPU tunnel) must not pollute the kernel throughput number.
+    # Best of three repetitions (the tunneled runtime is noisy).
     @jax.jit
     def run(y, steps):
         return jax.lax.fori_loop(0, steps, lambda i, y: op.matvec(y) * 0.125, y)
@@ -69,16 +78,21 @@ def spmv_throughput(grid=1024, iters=50):
     y = run(x, 2)
     jax.block_until_ready(y)  # warm-up / compile
 
-    t0 = time.perf_counter()
-    y = run(x, iters)
-    jax.block_until_ready(y)
-    dt = (time.perf_counter() - t0) / iters
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        y = run(x, iters)
+        jax.block_until_ready(y)
+        dt = min(dt, (time.perf_counter() - t0) / iters)
     return nnz / dt, nnz, dt
 
 
 def main():
-    history, wall, resid = readme_parity()
-    nnz_per_s, nnz, spmv_dt = spmv_throughput()
+    history, wall, warm_wall, resid = readme_parity()
+    # 1M rows (the BASELINE config; fits on-chip in VMEM at this size) and
+    # 16M rows (HBM-streaming regime).
+    nnz_per_s, nnz, spmv_dt = spmv_throughput(1024, 50)
+    nnz_per_s_l, nnz_l, spmv_dt_l = spmv_throughput(4096, 20)
 
     out = {
         "metric": "matvecs_readme_laplacian100_nev10_sr_tol1e-6",
@@ -89,10 +103,13 @@ def main():
         "nconverged": history.nconverged,
         "schur_residual": resid,
         "readme_wall_s": round(wall, 3),
+        "readme_wall_warm_s": round(warm_wall, 3),
         "spmv_nnz_per_s": round(nnz_per_s / 1e9, 4) * 1e9,
         "spmv_gnnz_per_s": round(nnz_per_s / 1e9, 4),
-        "spmv_ms_per_iter": round(spmv_dt * 1e3, 4),
+        "spmv_us_per_iter": round(spmv_dt * 1e6, 2),
         "spmv_nnz": nnz,
+        "spmv16M_gnnz_per_s": round(nnz_per_s_l / 1e9, 4),
+        "spmv16M_us_per_iter": round(spmv_dt_l * 1e6, 2),
         "backend": jax.default_backend(),
     }
     print(json.dumps(out))
