@@ -1,4 +1,5 @@
 from .operators import (
+    BsrOperator,
     DenseOperator,
     DiaOperator,
     EllOperator,
@@ -8,6 +9,7 @@ from .operators import (
     Stencil5Operator,
     as_operator,
     csr_to_ell,
+    dense_to_bsr,
     dia_from_diagonals,
 )
 from .problems import convection_diffusion_2d, laplacian_1d, laplacian_2d, tridiagonal
@@ -15,6 +17,8 @@ from .problems import convection_diffusion_2d, laplacian_1d, laplacian_2d, tridi
 __all__ = [
     "LinearOperator",
     "DenseOperator",
+    "BsrOperator",
+    "dense_to_bsr",
     "DiaOperator",
     "dia_from_diagonals",
     "EllOperator",

@@ -238,6 +238,91 @@ def dia_from_diagonals(diagonals, shape, dtype=None):
     return DiaOperator(diags, offsets, shape)
 
 
+@register_pytree_node_class
+class BsrOperator(LinearOperator):
+    """Block-sparse rows (block-level ELL): dense (B, B) blocks, up to KB
+    per block-row, column indices scalar-prefetched into a Pallas kernel
+    (ops/bsr_pallas.py).  The general-sparse TPU format for matrices with
+    clustered structure; the fallback matvec (CPU / interpret) is einsum
+    over gathered x blocks."""
+
+    def __init__(self, block_cols, block_data, shape, use_pallas=None):
+        self.block_cols = (
+            block_cols
+            if isinstance(block_cols, jax.Array)
+            else jnp.asarray(block_cols, dtype=jnp.int32)
+        )
+        self.block_data = (
+            block_data if isinstance(block_data, jax.Array) else jnp.asarray(block_data)
+        )
+        self.shape = tuple(shape)
+        self.dtype = self.block_data.dtype
+        self.use_pallas = use_pallas
+
+    @property
+    def block_size(self):
+        return self.block_data.shape[-1]
+
+    @property
+    def nnz(self):
+        return int(self.block_data.size)
+
+    def matvec(self, x):
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = (
+                jax.default_backend() == "tpu" and jax.device_count() == 1
+            )
+        if use_pallas:
+            from ..ops.bsr_pallas import bsr_matvec
+
+            return bsr_matvec(self.block_cols, self.block_data, x)
+        B = self.block_size
+        xb = x.reshape(-1, B)
+        gathered = xb[self.block_cols]  # (nbr, KB, B)
+        return jnp.einsum(
+            "rkij,rkj->ri",
+            self.block_data,
+            gathered,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(-1)
+
+    def tree_flatten(self):
+        return (self.block_cols, self.block_data), (
+            self.shape,
+            self.dtype,
+            self.use_pallas,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.block_cols, obj.block_data = children
+        obj.shape, obj.dtype, obj.use_pallas = aux
+        return obj
+
+
+def dense_to_bsr(A, block_size=128, use_pallas=None):
+    """Convert a dense matrix to BsrOperator, keeping only nonzero blocks
+    (host-side; n must be a multiple of block_size)."""
+    A = np.asarray(A)
+    n = A.shape[0]
+    B = block_size
+    if n % B:
+        raise ValueError(f"n ({n}) must be a multiple of block_size ({B})")
+    nb = n // B
+    blocks = A.reshape(nb, B, nb, B).transpose(0, 2, 1, 3)
+    nz = np.abs(blocks).sum(axis=(2, 3)) != 0
+    KB = max(1, int(nz.sum(axis=1).max()))
+    block_cols = np.zeros((nb, KB), dtype=np.int32)
+    block_data = np.zeros((nb, KB, B, B), dtype=A.dtype)
+    for i in range(nb):
+        cols = np.nonzero(nz[i])[0]
+        block_cols[i, : len(cols)] = cols
+        block_data[i, : len(cols)] = blocks[i, cols]
+    return BsrOperator(block_cols, block_data, A.shape, use_pallas=use_pallas)
+
+
 def csr_to_ell(indptr, indices, data, shape, dtype=None):
     """Convert CSR arrays to the padded ELL layout (host-side)."""
     indptr = np.asarray(indptr)

@@ -44,7 +44,9 @@ class ArnoldiWorkspace:
         if V is None:
             V = jnp.zeros((maxdim + 1, n), dtype=dtype)
         else:
-            V = jnp.asarray(V, dtype=dtype)
+            # Copy: the driver donates V buffers to the jitted kernels, so
+            # the workspace must own its storage, not alias the caller's.
+            V = jnp.array(V, dtype=dtype, copy=True)
             if V.shape != (maxdim + 1, n):
                 raise ValueError(
                     f"V must have shape {(maxdim + 1, n)}, got {V.shape}"
