@@ -21,9 +21,35 @@ import numpy as np
 
 _HERE = os.path.dirname(__file__)
 _LIB_PATH = os.path.join(_HERE, "libarnoldi_dense.so")
+_SRC_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(_HERE)), "native", "arnoldi_dense.cpp"
+)
+
+
+def _build():
+    """Best-effort build of the shared library from the checked-in source
+    (same command as native/Makefile)."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                "-o", _LIB_PATH, _SRC_PATH,
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
 
 _lib = None
 if os.environ.get("ARNOLDI_TPU_NATIVE", "1") != "0":
+    if not os.path.exists(_LIB_PATH) and os.path.exists(_SRC_PATH):
+        _build()
     try:
         _lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
