@@ -1,0 +1,76 @@
+"""Coverage for remaining corners: rotate_left, ELL operators on the
+mesh, operator matmul sugar, v1 with an explicit workspace."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from arnoldimethod_tpu import ArnoldiWorkspace, partial_schur
+from arnoldimethod_tpu.dense import eigenvalues, local_schur, rotate_left
+from arnoldimethod_tpu.models.problems import laplacian_1d
+from arnoldimethod_tpu.parallel import basis_sharding, make_mesh, shard_operator
+
+
+def test_rotate_left_cycles_eigenvalue():
+    rng = np.random.default_rng(0)
+    R = np.triu(rng.standard_normal((8, 8)))
+    Q = np.eye(8)
+    lam_before = eigenvalues(R)
+    R2 = R.copy()
+    rotate_left(R2, 1, 6, Q)
+    lam_after = eigenvalues(R2)
+    # Block at 1 moved to 6; the ones in between shifted up by one.
+    assert np.isclose(lam_before[1], lam_after[6])
+    for i in range(2, 7):
+        assert np.isclose(lam_before[i], lam_after[i - 1])
+    assert np.linalg.norm(R @ Q - Q @ R2) < 1e-12 * np.linalg.norm(R)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs CPU mesh")
+def test_ell_operator_sharded():
+    n = 256
+    op = laplacian_1d(n, fmt="ell")
+    mesh = make_mesh(8)
+    decomp, history = partial_schur(
+        shard_operator(op, mesh),
+        nev=3,
+        which="SR",
+        tol=1e-8,
+        sharding=basis_sharding(mesh),
+    )
+    assert history.converged
+    exact = np.sort(2 - 2 * np.cos(np.pi * np.arange(1, n + 1) / (n + 1)))[:3]
+    assert np.allclose(np.sort(decomp.eigenvalues.real), exact, atol=1e-7)
+
+
+def test_operator_matmul_sugar():
+    op = laplacian_1d(10)
+    x = jnp.ones(10)
+    assert np.allclose(np.asarray(op @ x), np.asarray(op.matvec(x)))
+
+
+def test_v1_with_workspace():
+    rng = np.random.default_rng(1)
+    A = rng.standard_normal((40, 40))
+    A = A + A.T
+    w, X = np.linalg.eigh(A)
+    ws = ArnoldiWorkspace(40, 15, dtype=jnp.float64)
+    decomp, history = partial_schur(
+        A, workspace=ws, v1=X[:, -1], nev=2, tol=1e-9
+    )
+    assert history.converged
+    # which='LM': the largest-magnitude eigenvalue must be found.
+    lam_lm = w[np.argmax(np.abs(w))]
+    assert np.min(np.abs(decomp.eigenvalues.real - lam_lm)) < 1e-7
+
+
+def test_restarts_limit_returns_partial():
+    """With restarts=1 on a hard problem, partial results come back with
+    converged=False (mirrors reference History semantics)."""
+    rng = np.random.default_rng(2)
+    A = rng.standard_normal((300, 300))
+    decomp, history = partial_schur(A, nev=8, tol=1e-14, restarts=1)
+    assert not history.converged
+    assert history.nconverged < 8
+    assert decomp.Q.shape == (300, history.nconverged)
