@@ -401,6 +401,10 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
         if _DEBUG:
             _debug_checks(H, V, k, it)
 
+        # Keep the workspace coherent after every restart so an exception
+        # (or a caller-side abort) leaves a resumable state.
+        ws.V = V
+
         active = nlock
         if active >= nev:
             break
