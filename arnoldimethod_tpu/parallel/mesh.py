@@ -44,6 +44,11 @@ def make_mesh(n_devices=None, devices=None):
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} JAX devices are visible"
+            )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (ROWS,))
 
