@@ -23,6 +23,7 @@ from .targets import LI, LM, LR, SI, SR, Target
 from .transforms import BInnerProductOperator, GeneralizedShiftInvertOperator
 from .workspace import ArnoldiWorkspace
 from .models.operators import (
+    CsrOperator,
     DenseOperator,
     DiaOperator,
     EllOperator,
@@ -53,6 +54,7 @@ __all__ = [
     "DiaOperator",
     "dia_from_diagonals",
     "EllOperator",
+    "CsrOperator",
     "FunctionOperator",
     "ShiftInvertDenseOperator",
     "GeneralizedShiftInvertOperator",

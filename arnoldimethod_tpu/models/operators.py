@@ -21,6 +21,7 @@ __all__ = [
     "LinearOperator",
     "DenseOperator",
     "EllOperator",
+    "CsrOperator",
     "FunctionOperator",
     "ShiftInvertDenseOperator",
     "as_operator",
@@ -321,6 +322,62 @@ def dense_to_bsr(A, block_size=128, use_pallas=None):
         block_cols[i, : len(cols)] = cols
         block_data[i, : len(cols)] = blocks[i, cols]
     return BsrOperator(block_cols, block_data, A.shape, use_pallas=use_pallas)
+
+
+@register_pytree_node_class
+class CsrOperator(LinearOperator):
+    """Sparse matrix in CSR, kept in CSR (ref: the SpMV surface behind the
+    reference's `mul!` is SparseArrays CSC/CSR — SURVEY.md §2.3).
+
+    The TPU matvec is one XLA gather plus a `segment_sum` over a
+    *precomputed* per-nonzero row-id vector (static shapes: nnz is fixed at
+    construction, `indices_are_sorted` because CSR rows are contiguous).
+    This keeps arbitrary row-length distributions exact with no padding; for
+    matrices with bounded rows, `.to_ell()` converts to the padded-ELL
+    layout whose matvec vectorizes better over the VPU and row-shards under
+    `shard_operator` (CSR's nnz axis has no even row split, so it stays
+    single-device; convert to ELL/BSR to distribute).
+    """
+
+    def __init__(self, indptr, indices, data, shape):
+        indptr = np.asarray(indptr)
+        self.rows = jnp.asarray(
+            np.repeat(np.arange(shape[0], dtype=np.int32), np.diff(indptr)),
+        )
+        self.indptr = jnp.asarray(indptr, dtype=jnp.int32)
+        self.indices = jnp.asarray(indices, dtype=jnp.int32)
+        self.data = data if isinstance(data, jax.Array) else jnp.asarray(data)
+        self.shape = tuple(shape)
+        self.dtype = self.data.dtype
+
+    @property
+    def nnz(self):
+        return int(self.data.size)
+
+    def matvec(self, x):
+        prods = self.data * x[self.indices]
+        return jax.ops.segment_sum(
+            prods, self.rows, num_segments=self.shape[0],
+            indices_are_sorted=True,
+        )
+
+    def to_ell(self):
+        """Padded-ELL version of this matrix (the distributable layout)."""
+        return csr_to_ell(
+            np.asarray(self.indptr), np.asarray(self.indices),
+            np.asarray(self.data), self.shape,
+        )
+
+    def tree_flatten(self):
+        children = (self.rows, self.indptr, self.indices, self.data)
+        return children, (self.shape, self.dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.rows, obj.indptr, obj.indices, obj.data = children
+        obj.shape, obj.dtype = aux
+        return obj
 
 
 def csr_to_ell(indptr, indices, data, shape, dtype=None):

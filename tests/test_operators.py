@@ -122,3 +122,37 @@ def test_shift_invert_dense():
     exact = 2 - 2 * np.cos(np.pi * np.arange(1, n + 1) / (n + 1))
     nearest = exact[np.argsort(np.abs(exact - sigma))][:4]
     assert np.allclose(np.sort(lams), np.sort(nearest), atol=1e-7)
+
+
+def test_csr_operator_matvec_and_solve():
+    """First-class CSR: exact matvec on irregular row lengths (incl. an
+    empty row), ELL round-trip, and end-to-end partial_schur."""
+    from arnoldimethod_tpu import CsrOperator
+
+    rng = np.random.default_rng(3)
+    n = 40
+    A = np.zeros((n, n))
+    for i in range(n):
+        A[i, i] = i + 1.0
+        for j in rng.choice(n, size=rng.integers(0, 6), replace=False):
+            A[i, j] += rng.standard_normal() * 0.01
+    A[7, :] = 0.0  # empty row exercises the zero-length segment
+    import scipy.sparse as sp
+
+    S = sp.csr_matrix(A)
+    op = CsrOperator(S.indptr, S.indices, S.data, S.shape)
+    assert op.nnz == S.nnz
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(jnp.asarray(x))), A @ x, rtol=1e-12
+    )
+    ell = op.to_ell()
+    np.testing.assert_allclose(
+        np.asarray(ell.matvec(jnp.asarray(x))), A @ x, rtol=1e-12
+    )
+
+    decomp, history = partial_schur(op, nev=4, which="LM", tol=1e-9)
+    assert history.converged
+    lam = np.sort(np.asarray(decomp.eigenvalues.real))
+    expect = np.sort(np.linalg.eigvals(A).real)[-4:]
+    np.testing.assert_allclose(lam, expect, rtol=1e-6)
