@@ -9,11 +9,18 @@ writes each output tile once:
   speed-of-light bound for a stencil.
 
 Layout: x is the (ny, nx) row-major grid (flattened vectors reshape for
-free).  The caller pre-pads HALO (8) zero rows on top and bottom so every
-DMA window is sublane-aligned (Mosaic requires 8-row alignment); tile i
-copies rows [i*TR, i*TR + TR + 2*HALO) of the padded grid into VMEM
-scratch — overlapping windows, which BlockSpecs cannot express, hence the
-manual async copy.  North/south taps are sublane rolls of the scratch
+free), read *unpadded* straight from HBM — no separate padding pass.  Tile
+i wants grid rows [i*TR - HALO, i*TR + TR + HALO); interior tiles DMA that
+window into a VMEM scratch slot in one copy (overlapping windows, which
+BlockSpecs cannot express, hence the manual async copy), while the first/
+last tiles copy the in-range rows into an offset scratch slice and zero
+the out-of-range halo rows — that zero halo IS the Dirichlet boundary.
+The scratch is double-buffered: grid step i starts the DMA for tile i+1
+into the other slot before waiting on its own, so the HBM read of the
+next window overlaps this tile's VPU work (the automatic output pipeline
+overlaps the y writes the same way).  All window starts and scratch
+offsets are multiples of HALO = 8, keeping every DMA sublane-aligned (a
+Mosaic requirement).  North/south taps are sublane rolls of the scratch
 block (aligned slices only); west/east taps are lane rolls with an edge
 mask.
 """
@@ -24,6 +31,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -32,16 +40,88 @@ __all__ = ["stencil5_matvec", "HALO"]
 HALO = 8  # sublane alignment of the DMA windows
 
 
-def _kernel(xp_hbm, y_ref, scratch, sem, *, coeffs, TR, nx):
+def _halo_copy(x_hbm, scratch, sem, t, slot, *, TR, G, action):
+    """Start (or wait on) the async copy of tile t's halo window
+    [t*TR - HALO, t*TR + TR + HALO) ∩ grid into scratch[slot].  The wait
+    path reconstructs the identical copy descriptor, so start/wait stay
+    matched per boundary branch."""
+
+    def go(cp):
+        cp.start() if action == "start" else cp.wait()
+
+    buf = scratch.at[slot]
+    if G == 1:
+        go(pltpu.make_async_copy(x_hbm, buf.at[pl.ds(HALO, TR), :], sem.at[slot]))
+        return
+
+    @pl.when(t == 0)
+    def _first():
+        go(
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(0, TR + HALO), :],
+                buf.at[pl.ds(HALO, TR + HALO), :],
+                sem.at[slot],
+            )
+        )
+
+    if G > 2:  # with G == 2 there are no interior tiles, and the
+        # (TR + 2*HALO)-row slice would not even fit the operand
+
+        @pl.when((t > 0) & (t < G - 1))
+        def _interior():
+            go(
+                pltpu.make_async_copy(
+                    x_hbm.at[
+                        pl.ds(pl.multiple_of(t * TR - HALO, HALO), TR + 2 * HALO), :
+                    ],
+                    buf,
+                    sem.at[slot],
+                )
+            )
+
+    @pl.when(t == G - 1)
+    def _last():
+        go(
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(pl.multiple_of(t * TR - HALO, HALO), TR + HALO), :],
+                buf.at[pl.ds(0, TR + HALO), :],
+                sem.at[slot],
+            )
+        )
+
+
+def _kernel(x_hbm, y_ref, scratch, sem, *, coeffs, TR, nx, G):
     c, w, e, no, so = coeffs
     i = pl.program_id(0)
+    slot = lax.rem(i, jnp.int32(2)) if G > 1 else 0
+    zero_halo = jnp.zeros((HALO, nx), dtype=y_ref.dtype)
+
+    @pl.when(i == 0)
+    def _prologue():
+        _halo_copy(x_hbm, scratch, sem, 0, 0, TR=TR, G=G, action="start")
+
+    if G > 1:
+
+        @pl.when(i + 1 < G)
+        def _prefetch():
+            _halo_copy(
+                x_hbm, scratch, sem, i + 1, 1 - slot, TR=TR, G=G, action="start"
+            )
+
+    _halo_copy(x_hbm, scratch, sem, i, slot, TR=TR, G=G, action="wait")
+
+    # Dirichlet halo rows: zero-fill the out-of-grid part of the window
+    # (disjoint from the DMA'd rows, so ordering vs the copy is free).
+    @pl.when(i == 0)
+    def _top():
+        scratch[0, 0:HALO, :] = zero_halo
+
+    @pl.when(i == G - 1)
+    def _bottom():
+        scratch[slot, TR + HALO :, :] = zero_halo
 
     rows = TR + 2 * HALO
-    cp = pltpu.make_async_copy(xp_hbm.at[pl.ds(i * TR, rows), :], scratch, sem)
-    cp.start()
-    cp.wait()
-
-    block = scratch[:, :]
+    block = scratch[slot, :, :]
     # Sublane rolls keep every slice 8-aligned: rolled-down block j holds
     # original row j-1 (north tap), rolled-up holds j+1 (south tap).
     down = pltpu.roll(block, 1, 0)
@@ -58,9 +138,11 @@ def _kernel(xp_hbm, y_ref, scratch, sem, *, coeffs, TR, nx):
 
 
 def _pick_tile_rows(ny, nx, itemsize):
-    # Scratch (TR+16, nx) + rolls + output block must sit well under VMEM
-    # (~16 MB); target <= 2 MB scratch, TR a multiple of 8 dividing ny.
-    budget = (2 * 1024 * 1024) // (nx * itemsize)
+    # Two scratch slots of (TR+16, nx) + roll temporaries + output block
+    # must sit well under VMEM (~16 MB); target <= 1 MB per slot so the
+    # double-buffered DMA actually overlaps compute.  TR is a multiple of
+    # 8 dividing ny.
+    budget = (1024 * 1024) // (nx * itemsize)
     tr = max(8, min(ny, (budget // 8) * 8))
     while ny % tr:
         tr -= 8
@@ -69,28 +151,31 @@ def _pick_tile_rows(ny, nx, itemsize):
     return tr
 
 
-@functools.partial(jax.jit, static_argnames=("coeffs", "grid", "interpret"))
-def stencil5_matvec(x, *, coeffs, grid, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("coeffs", "grid", "interpret", "tile_rows")
+)
+def stencil5_matvec(x, *, coeffs, grid, interpret=False, tile_rows=None):
     """y = A @ x for the 5-point stencil (center, west, east, north, south)
-    on an (ny, nx) grid; x, y are flat length-(ny*nx) arrays."""
+    on an (ny, nx) grid; x, y are flat length-(ny*nx) arrays.
+    `tile_rows` overrides the VMEM tile height (testing / tuning)."""
     ny, nx = grid
     g = x.reshape(ny, nx)
-    xp = jnp.pad(g, ((HALO, HALO), (0, 0)))
 
-    TR = _pick_tile_rows(ny, nx, x.dtype.itemsize)
+    TR = tile_rows or _pick_tile_rows(ny, nx, x.dtype.itemsize)
+    G = ny // TR
 
     y = pl.pallas_call(
-        functools.partial(_kernel, coeffs=coeffs, TR=TR, nx=nx),
-        grid=(ny // TR,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        functools.partial(_kernel, coeffs=coeffs, TR=TR, nx=nx, G=G),
+        grid=(G,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (TR, nx), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((ny, nx), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((TR + 2 * HALO, nx), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, TR + 2 * HALO, nx), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xp)
+    )(g)
     return y.reshape(ny * nx)

@@ -76,16 +76,24 @@ def spmv(grid, iters):
     jax = _jax()
     import jax.numpy as jnp
 
-    from arnoldimethod_tpu.models.problems import laplacian_2d
+    from arnoldimethod_tpu.models.operators import Stencil5Operator
 
-    op = laplacian_2d(grid, grid, dtype=jnp.float32, fmt="stencil")
+    # 0.130-scaled 2-D Laplacian: spectral radius ~1, so the iterated
+    # vector stays finite across `iters` back-to-back matvecs, and each
+    # iteration is exactly one SpMV (the scale lives in A's coefficients).
+    s = 0.130
+    op = Stencil5Operator(
+        tuple(s * c for c in (4.0, -1.0, -1.0, -1.0, -1.0)),
+        (grid, grid),
+        dtype=jnp.float32,
+    )
     n = op.shape[0]
     nnz = op.nnz
     x = jnp.ones(n, dtype=jnp.float32)
 
     @jax.jit
     def run(y, steps):
-        return jax.lax.fori_loop(0, steps, lambda i, y: op.matvec(y) * 0.130, y)
+        return jax.lax.fori_loop(0, steps, lambda i, y: op.matvec(y), y)
 
     # NOTE: on this platform block_until_ready does not reliably fence the
     # async stream — a scalar readback does.  First rep absorbs stragglers

@@ -64,3 +64,24 @@ def test_stencil_operator_through_solver():
     for lam in got:
         assert np.min(np.abs(spectrum - lam)) < 1e-7
     assert abs(got[0] - spectrum[0]) < 1e-7
+
+
+@pytest.mark.parametrize("ny,tile_rows", [(32, 8), (48, 16), (16, 8)])
+def test_multi_tile_boundaries(ny, tile_rows):
+    """Forced small tiles exercise the first/interior/last in-kernel halo
+    branches (the padless DMA paths) in interpreter mode."""
+    nx = 128
+    op = laplacian_2d(nx, ny, dtype=np.float32, fmt="dia")
+    rng = np.random.default_rng(7 * ny + tile_rows)
+    x = jnp.asarray(rng.standard_normal(ny * nx).astype(np.float32))
+    y_ref = np.asarray(op.matvec(x))
+    y_pl = np.asarray(
+        stencil5_matvec(
+            x,
+            coeffs=(4.0, -1.0, -1.0, -1.0, -1.0),
+            grid=(ny, nx),
+            interpret=True,
+            tile_rows=tile_rows,
+        )
+    )
+    assert np.allclose(y_pl, y_ref, atol=1e-4)
