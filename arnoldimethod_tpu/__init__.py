@@ -30,6 +30,7 @@ from .models.operators import (
     FunctionOperator,
     LinearOperator,
     ShiftInvertDenseOperator,
+    TridiagonalShiftInvertOperator,
     as_operator,
     csr_to_ell,
     dia_from_diagonals,
@@ -57,6 +58,7 @@ __all__ = [
     "CsrOperator",
     "FunctionOperator",
     "ShiftInvertDenseOperator",
+    "TridiagonalShiftInvertOperator",
     "GeneralizedShiftInvertOperator",
     "BInnerProductOperator",
     "as_operator",

@@ -53,10 +53,12 @@ def partial_eigen(decomp: PartialSchur):
         S = S.real
         X = decomp.Q @ jnp.asarray(S, dtype=decomp.Q.dtype)
     else:
-        Sr = jnp.asarray(S.real, dtype=decomp.Q.dtype)
-        Si = jnp.asarray(S.imag, dtype=decomp.Q.dtype)
         if jnp.issubdtype(decomp.Q.dtype, jnp.complexfloating):
             X = decomp.Q @ jnp.asarray(S, dtype=decomp.Q.dtype)
         else:
-            X = decomp.Q @ Sr + 1j * (decomp.Q @ Si)
+            # Real Schur basis, complex pairs: two real device GEMMs,
+            # combined on host — TPU backends have no complex arithmetic.
+            Sr = jnp.asarray(S.real, dtype=decomp.Q.dtype)
+            Si = jnp.asarray(S.imag, dtype=decomp.Q.dtype)
+            X = np.asarray(decomp.Q @ Sr) + 1j * np.asarray(decomp.Q @ Si)
     return vals, X

@@ -24,6 +24,7 @@ __all__ = [
     "CsrOperator",
     "FunctionOperator",
     "ShiftInvertDenseOperator",
+    "TridiagonalShiftInvertOperator",
     "as_operator",
     "csr_to_ell",
 ]
@@ -455,6 +456,110 @@ class ShiftInvertDenseOperator(LinearOperator):
         obj = object.__new__(cls)
         obj.lu, obj.piv, obj.sigma = children
         obj.shape, obj.dtype = aux
+        return obj
+
+
+@register_pytree_node_class
+class TridiagonalShiftInvertOperator(LinearOperator):
+    """Shift-invert transform x -> (A - sigma*I)^{-1} x for a *tridiagonal*
+    A, via a host-precomputed pivoted LU whose two triangular solves run on
+    device as log-depth `associative_scan`s (ops/tridiag.py) — the sparse
+    factorization + ldiv! shift-invert of the reference's docs
+    (docs/src/index.md:234-303) and benchmark (bench/partial_schur.jl:37-52).
+
+    Eigenvalues transform as theta = 1/(lambda - sigma): solve with
+    which='LM', map back lambda = sigma + 1/theta.
+
+    `refine=True` (default when the solve dtype is narrower than float64)
+    wraps each solve in one step of iterative refinement against the
+    full-precision shifted matvec, recovering most of the accuracy an f32
+    factorization loses for ~2x solve cost.
+    """
+
+    def __init__(self, factors, bands, sigma, shape, dtype, refine):
+        self.factors = factors  # (l, swap, d0, du1, du2) device arrays
+        self.bands = bands  # (dl, d, du) of A - sigma*I, length-n padded
+        self.sigma = sigma
+        self.shape = tuple(shape)
+        self.dtype = np.dtype(dtype)
+        self.refine = bool(refine)
+
+    @classmethod
+    def build(cls, dl, d, du, sigma=0.0, dtype=None, refine=None):
+        """Factorize A - sigma*I on host (float64, once) from the
+        tridiagonal bands dl (n-1), d (n), du (n-1)."""
+        from ..ops.tridiag import factor_tridiagonal
+
+        d = np.asarray(d)
+        n = d.shape[0]
+        if dtype is None:
+            dtype = np.promote_types(d.dtype, np.float32)
+        dtype = np.dtype(dtype)
+        if refine is None:
+            refine = np.finfo(dtype).eps > np.finfo(np.float64).eps
+        ds = d.astype(np.promote_types(d.dtype, np.float64)) - sigma
+        fac = factor_tridiagonal(dl, ds, du)
+        factors = tuple(
+            jnp.asarray(a) if a.dtype == bool else jnp.asarray(a, dtype=dtype)
+            for a in fac.arrays()
+        )
+        pad = np.zeros(1, dtype=ds.dtype)
+        bands = tuple(
+            jnp.asarray(a, dtype=dtype)
+            for a in (
+                np.concatenate([np.asarray(dl, ds.dtype), pad]),
+                ds,
+                np.concatenate([np.asarray(du, ds.dtype), pad]),
+            )
+        )
+        return cls(factors, bands, sigma, (n, n), dtype, refine)
+
+    @classmethod
+    def from_operator(cls, op, sigma=0.0, dtype=None, refine=None):
+        """Build from a DiaOperator whose offsets are within {-1, 0, 1}."""
+        if not isinstance(op, DiaOperator):
+            raise TypeError("from_operator expects a DiaOperator")
+        if not set(int(o) for o in op.offsets) <= {-1, 0, 1}:
+            raise ValueError("operator is not tridiagonal")
+        n = op.shape[0]
+        diags = {int(o): np.asarray(op.diags[i]) for i, o in enumerate(op.offsets)}
+        zero = np.zeros(n, dtype=np.asarray(op.diags).dtype)
+        # DiaOperator stores diag k at positions max(0,-k)..; entry j of
+        # offset -1 multiplies x[j-1] on row j -> dl[j-1] = diags[-1][j].
+        dl = diags.get(-1, zero)[1:]
+        d = diags.get(0, zero)
+        du = diags.get(1, zero)[:-1]
+        return cls.build(dl, d, du, sigma=sigma, dtype=dtype, refine=refine)
+
+    def _shifted_matvec(self, x):
+        dl, d, du = self.bands
+        lower = jnp.concatenate([x[:1] * 0, dl[:-1] * x[:-1]])
+        upper = jnp.concatenate([du[:-1] * x[1:], x[:1] * 0])
+        return d * x + lower + upper
+
+    def matvec(self, b):
+        from ..ops.tridiag import tridiag_lu_solve
+
+        x = tridiag_lu_solve(*self.factors, b)
+        if not self.refine:
+            return x
+        # One iterative-refinement step (static structure: each variant
+        # compiles once).  The residual matvec is 5 fused axpys.
+        r = b - self._shifted_matvec(x)
+        return x + tridiag_lu_solve(*self.factors, r)
+
+    def tree_flatten(self):
+        return (self.factors, self.bands, self.sigma), (
+            self.shape,
+            self.dtype,
+            self.refine,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.factors, obj.bands, obj.sigma = children
+        obj.shape, obj.dtype, obj.refine = aux
         return obj
 
 
