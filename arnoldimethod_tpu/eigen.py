@@ -26,8 +26,13 @@ __all__ = ["partial_eigen"]
 
 def partial_eigen(decomp: PartialSchur):
     """Return (values, vectors): values is a complex (or real, if the
-    spectrum is real) numpy vector of length k, vectors an (n, k) device
-    array with unit-norm columns satisfying A @ vectors ~= vectors * values.
+    spectrum is real) numpy vector of length k, vectors an (n, k) array
+    with unit-norm columns satisfying A @ vectors ~= vectors * values.
+
+    vectors is a device array, except when the Schur basis is real but the
+    spectrum has complex pairs: then the two real GEMMs are combined on
+    host and vectors is a complex *numpy* array (TPU backends have no
+    complex arithmetic to hold it on device).
     """
     R = np.asarray(decomp.R)
     k = R.shape[0]

@@ -471,9 +471,11 @@ class TridiagonalShiftInvertOperator(LinearOperator):
     which='LM', map back lambda = sigma + 1/theta.
 
     `refine=True` (default when the solve dtype is narrower than float64)
-    wraps each solve in one step of iterative refinement against the
-    full-precision shifted matvec, recovering most of the accuracy an f32
-    factorization loses for ~2x solve cost.
+    wraps each solve in one step of iterative refinement: the residual is
+    recomputed from the shifted bands held in the *solve* dtype, so the
+    step drives the error down to that dtype's representation floor
+    (it cannot go beyond it — see docs/transforms.md), recovering most of
+    the accuracy an f32 factorization loses for ~2x solve cost.
     """
 
     def __init__(self, factors, bands, sigma, shape, dtype, refine):
@@ -493,7 +495,16 @@ class TridiagonalShiftInvertOperator(LinearOperator):
         d = np.asarray(d)
         n = d.shape[0]
         if dtype is None:
-            dtype = np.promote_types(d.dtype, np.float32)
+            # Promote across all bands AND the shift: a complex sigma (or
+            # complex bands with a real diagonal) must yield complex
+            # factors, matching ShiftInvertDenseOperator.build.
+            dtype = np.result_type(
+                d.dtype,
+                np.asarray(dl).dtype,
+                np.asarray(du).dtype,
+                type(sigma),
+                np.float32,
+            )
         dtype = np.dtype(dtype)
         if refine is None:
             refine = np.finfo(dtype).eps > np.finfo(np.float64).eps

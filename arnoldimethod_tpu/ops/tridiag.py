@@ -147,6 +147,8 @@ def _affine2_combine(a, b):
 def tridiag_lu_solve(l, swap, d0, du1, du2, b):
     """x = U^{-1} L^{-1} P b, both substitutions as log-depth scans."""
     n = b.shape[0]
+    if n == 1:  # 1x1 system: no recurrences at all
+        return b / d0
     one = jnp.ones((), dtype=b.dtype)
 
     # Forward: t_{i+1} = a_i t_i + c_i for i in [0, n-1), t_0 = b_0.
@@ -164,6 +166,8 @@ def tridiag_lu_solve(l, swap, d0, du1, du2, b):
     xn1 = yd[n - 1]
     xn2 = yd[n - 2] - (du1[n - 2] / d0[n - 2]) * xn1
     base = jnp.stack([xn2, xn1])
+    if n == 2:  # the base pair is the whole solution
+        return base
 
     m = n - 2
     r1 = -du1[:m] / d0[:m]

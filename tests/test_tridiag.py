@@ -39,6 +39,33 @@ def test_solve_matches_dense(n):
     assert np.linalg.norm(A @ x - b) <= 1e-9 * np.linalg.norm(b) * np.linalg.cond(A)
 
 
+def test_solve_n1():
+    """1x1 system: the scan recurrences degenerate entirely (regression:
+    the backward pass used to wrap yd[n-2] to yd[-1] and return length 2)."""
+    fac = factor_tridiagonal(np.zeros(0), np.array([2.0]), np.zeros(0))
+    x = np.asarray(tridiag_lu_solve(*fac.arrays(), np.array([4.0])))
+    np.testing.assert_allclose(x, [2.0])
+
+
+def test_complex_sigma_promotes_dtype():
+    """A complex shift with real bands must produce complex factors
+    (regression: the solve dtype used to follow d.dtype only, silently
+    casting the complex LU to real)."""
+    n = 40
+    dl = np.full(n - 1, -1.0)
+    d = np.full(n, 2.0)
+    du = np.full(n - 1, -1.001)
+    sigma = 0.5 + 0.3j
+    op = TridiagonalShiftInvertOperator.build(dl, d, du, sigma=sigma)
+    assert np.issubdtype(op.dtype, np.complexfloating)
+    rng = np.random.default_rng(11)
+    b = rng.standard_normal(n)
+    x = np.asarray(op.matvec(b.astype(op.dtype)))
+    A = _dense(dl, d, du).astype(complex) - sigma * np.eye(n)
+    xs = np.linalg.solve(A, b)
+    np.testing.assert_allclose(x, xs, rtol=1e-8, atol=1e-10)
+
+
 def test_solve_no_pivoting_needed():
     n = 100
     dl = np.full(n - 1, -1.0)
