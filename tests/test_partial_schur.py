@@ -188,6 +188,30 @@ def test_tolerance_in_different_precision():
     assert _residual(A, decomp) < 100 * 1e-10
 
 
+def test_purge_unlocks_displaced_eigenvalues():
+    """A locked eigenvalue is later displaced by better candidates: the
+    purge pass (driver purge < active) must unlock it and the final basis
+    stay orthonormal.  The reference admits this path is under-covered
+    (test/partial_schur.jl:96-99 TODO); this constructs it deterministically:
+    a tight, slowly-surfacing cluster {11, 10.999} is given ~1e-12 weight in
+    v1, so the isolated decoys 10.0/9.5/9.0 converge and lock as the
+    provisional top-3 first; once the cluster's Ritz values surface they
+    displace the locked 9.5/9.0 (ref: run.jl:341-353)."""
+    n = 100
+    d = np.concatenate([[11.0, 10.999, 10.0, 9.5, 9.0], np.linspace(1.0, 8.0, n - 5)])
+    A = np.diag(d)
+    v1 = np.ones(n)
+    v1[0] = v1[1] = 1e-12
+    decomp, history = partial_schur(A, v1=v1, nev=3, which="LM", tol=1e-8)
+    assert history.purges > 0, "scenario did not exercise the purge path"
+    assert history.converged
+    got = np.sort(decomp.eigenvalues.real)[::-1][:3]
+    assert np.allclose(got, [11.0, 10.999, 10.0], atol=1e-6)
+    Q = np.asarray(decomp.Q)
+    assert np.linalg.norm(Q.T @ Q - np.eye(Q.shape[1])) < 100 * EPS
+    assert _residual(A, decomp) < 1e-6
+
+
 def test_complex_targets_li_si():
     """LI/SI targets in complex arithmetic select the right eigenvalues."""
     rng = np.random.default_rng(8)
