@@ -29,6 +29,7 @@ from .models.operators import (
     EllOperator,
     FunctionOperator,
     LinearOperator,
+    ShardedCsrOperator,
     ShiftInvertDenseOperator,
     TridiagonalShiftInvertOperator,
     as_operator,
@@ -36,7 +37,7 @@ from .models.operators import (
     dia_from_diagonals,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "partial_schur",
@@ -56,6 +57,7 @@ __all__ = [
     "dia_from_diagonals",
     "EllOperator",
     "CsrOperator",
+    "ShardedCsrOperator",
     "FunctionOperator",
     "ShiftInvertDenseOperator",
     "TridiagonalShiftInvertOperator",

@@ -37,6 +37,7 @@ from .ops.expansion import (
     expand_range,
     set_initial_vector,
     set_random_vector,
+    truncate_and_expand,
 )
 from .targets import as_target, get_order
 from .workspace import ArnoldiWorkspace
@@ -78,13 +79,18 @@ class History:
     the reference."""
 
     def __init__(self, mvproducts, nconverged, converged, nev, restarts=0,
-                 purges=0):
+                 purges=0, timings=None):
         self.mvproducts = mvproducts
         self.nconverged = nconverged
         self.converged = converged
         self.nev = nev
         self.restarts = restarts
         self.purges = purges
+        # Host wall-clock breakdown in seconds: 'device' covers jitted
+        # dispatch + H readback (the host<->device round trips), 'dense'
+        # the host restart kernels.  Observability for the per-restart
+        # latency floor on remote-attached TPUs.
+        self.timings = timings or {}
 
     def __repr__(self):
         status = "Converged" if self.converged else "Not converged"
@@ -241,6 +247,28 @@ def partial_schur(
     # Working dtype: follow the operator (canonicalized under the current
     # x64 setting), like the reference's vtype genericity.
     work_dtype = jnp.zeros(0, dtype=op.dtype).dtype
+    # TPU has no 64-bit arithmetic, and complex device<->host transfers are
+    # unimplemented on current TPU runtimes (verified empirically: complex64
+    # programs execute but their readbacks fail with UNIMPLEMENTED and
+    # poison the stream).  Fail loudly up front instead of dying inside the
+    # runtime; docs/precision.md has the support matrix.
+    if work_dtype.itemsize > 8 or work_dtype in (
+        jnp.dtype("float64"),
+        jnp.dtype("complex64"),
+    ):
+        platform = (
+            next(iter(sharding.device_set)).platform
+            if sharding is not None
+            else jax.local_devices()[0].platform
+        )
+        if platform == "tpu":
+            raise NotImplementedError(
+                f"dtype {work_dtype} is not supported on TPU backends "
+                "(no 64-bit arithmetic; complex host transfers are "
+                "unimplemented in the TPU runtime). Use float32 on TPU — "
+                "LI/SI targets need a complex dtype and therefore a CPU "
+                "mesh — see docs/precision.md."
+            )
     order_key = get_order(target)
     if tol is None:
         tol = float(np.sqrt(jnp.finfo(work_dtype).eps))
@@ -303,34 +331,37 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
 
     Hdev = jnp.asarray(H, dtype=ws.dtype)
 
-    active = active0
-    # A warm start may resume past mindim; never shrink below the locked part.
-    k = max(mindim, active0)
-    prods = k - active0
-    purge_events = 0
+    import time as _time
 
-    # Initial expansion to a mindim-sized relation.  H transfers are always
-    # full-array (fixed shape): varying-shape slices would trigger a fresh
-    # XLA compile per distinct shape, which dominates wall-clock on a
-    # remote-tunneled TPU.  The host array stays authoritative for locked
+    active = active0
+    prods = m - active0
+    purge_events = 0
+    timings = {"device": 0.0, "dense": 0.0}
+
+    # Initial expansion straight to a maxdim-sized relation (the reference
+    # stops at mindim first, but nothing happens in between — run.jl:260-275
+    # — so one dispatch does both).  H transfers are always full-array
+    # (fixed shape): varying-shape slices would trigger a fresh XLA compile
+    # per distinct shape.  The host array stays authoritative for locked
     # columns (no low-precision round trip of converged data).
-    V, Hdev = expand_range(op, V, Hdev, active0, k, jax.random.fold_in(key, 0))
-    Hpull = np.asarray(Hdev, dtype=H.dtype)
-    H[:, active0:k] = Hpull[:, active0:k]
+    t0 = _time.perf_counter()
+    with jax.profiler.TraceAnnotation("arnoldi:expand"):
+        V, Hdev = expand_range(op, V, Hdev, active0, m, jax.random.fold_in(key, 0))
+        Hpull = np.asarray(Hdev, dtype=H.dtype)
+    H[:, active0:m] = Hpull[:, active0:m]
+    timings["device"] += _time.perf_counter() - t0
+
+    # The truncation basis change of each restart is fused into the *next*
+    # restart's expansion (one device dispatch + one H readback per restart
+    # — the round-trip count is the latency floor on remote-attached TPUs).
+    # On exit, `pending_Q` holds the not-yet-applied final truncation; it
+    # is composed with the final sort into a single GEMM.
+    pending_Q = None
 
     it = 0
     for it in range(1, restarts + 1):
-        # Expand the Krylov subspace from k to maxdim (device).
-        if k < m:
-            with jax.profiler.TraceAnnotation("arnoldi:expand"):
-                V, Hdev = expand_range(
-                    op, V, Hdev, k, m, jax.random.fold_in(key, it)
-                )
-                Hpull = np.asarray(Hdev, dtype=H.dtype)
-            H[:, k:m] = Hpull[:, k:m]
-            prods += m - k
-
         # Dense restart phase (host, f64).
+        t0 = _time.perf_counter()
         Q = np.eye(m, dtype=H.dtype)
         if use_native:
             _native.local_schur(H[:m, :], active, m, Q)
@@ -394,8 +425,8 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
             _partition_three_way(H[:m, :], Q, groups)
             restore_arnoldi(H, nlock, k, Q)
 
-        # Single fixed-shape basis-change GEMM: columns [purge, k) from Q,
-        # row k takes the old row m (the next-vector slot), everything else
+        # Fixed-shape basis-change matrix: columns [purge, k) from Q, row k
+        # takes the old row m (the next-vector slot), everything else
         # passes through untouched (ref: run.jl:363-365).
         Qbig = np.eye(m + 1, dtype=H.dtype)
         Qbig[:, purge:k] = 0
@@ -403,23 +434,40 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
         if k < m:
             Qbig[:, k] = 0
             Qbig[m, k] = 1
-        with jax.profiler.TraceAnnotation("arnoldi:basis_change"):
-            V = apply_basis_change(V, jnp.asarray(Qbig, dtype=ws.dtype))
+        timings["dense"] += _time.perf_counter() - t0
+
+        active = nlock
+        if active >= nev or it == restarts:
+            # Applied below, composed with the final sort's GEMM.
+            pending_Q = Qbig
+            break
+
+        # One fused device dispatch: apply the truncation to V and expand
+        # the Krylov subspace from k back to maxdim; then the one H
+        # readback of this restart.
+        t0 = _time.perf_counter()
+        with jax.profiler.TraceAnnotation("arnoldi:truncate_expand"):
+            V, Hdev = truncate_and_expand(
+                op, V, Hdev, jnp.asarray(Qbig, dtype=ws.dtype), k, m,
+                jax.random.fold_in(key, it),
+            )
+            Hpull = np.asarray(Hdev, dtype=H.dtype)
+        H[:, k:m] = Hpull[:, k:m]
+        prods += m - k
+        timings["device"] += _time.perf_counter() - t0
 
         if _DEBUG:
-            _debug_checks(H, V, k, it)
+            _debug_checks(H, V, m, it)
 
         # Keep the workspace coherent after every restart so an exception
         # (or a caller-side abort) leaves a resumable state.
         ws.V = V
 
-        active = nlock
-        if active >= nev:
-            break
-
     nconverged = active
 
-    # Sort the converged eigenvalues in the user's target order.
+    # Sort the converged eigenvalues in the user's target order, and apply
+    # the pending truncation + sort to V in one composed GEMM.
+    t0 = _time.perf_counter()
     Q = np.eye(m, dtype=H.dtype)
     if use_native:
         _native.sort_schur(H[:m, :], Q, nconverged, type(target).__name__)
@@ -427,7 +475,12 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
         _sort_schur(H[:m, :], Q, nconverged, order_key)
     Qbig = np.eye(m + 1, dtype=H.dtype)
     Qbig[:m, :m] = Q
+    if pending_Q is not None:
+        Qbig = pending_Q @ Qbig
+    timings["dense"] += _time.perf_counter() - t0
+    t0 = _time.perf_counter()
     V = apply_basis_change(V, jnp.asarray(Qbig, dtype=ws.dtype))
+    timings["device"] += _time.perf_counter() - t0
 
     if nconverged > 0:
         if use_native:
@@ -438,7 +491,7 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
     ws.V = V
 
     history = History(prods, nconverged, nconverged >= nev, nev, restarts=it,
-                      purges=purge_events)
+                      purges=purge_events, timings=timings)
     schur = PartialSchur(
         V[:nconverged].T,
         H[:nconverged, :nconverged].copy(),

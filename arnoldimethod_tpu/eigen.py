@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .dense.eig import collect_eigen, eigenvalues
@@ -52,18 +53,26 @@ def partial_eigen(decomp: PartialSchur):
             col = np.conj(col)
         S[:, j] = col
 
+    # Full-precision accumulation: on TPU a plain f32 matmul runs bf16 MXU
+    # passes, which would inflate the eigenpair residual by ~4 orders of
+    # magnitude (same rule as every contraction in ops/expansion.py).
+    def _gemm(Q, S):
+        return jnp.matmul(Q, S, precision=jax.lax.Precision.HIGHEST)
+
     all_real = bool(np.all(vals.imag == 0))
     if all_real:
         vals = vals.real
         S = S.real
-        X = decomp.Q @ jnp.asarray(S, dtype=decomp.Q.dtype)
+        X = _gemm(decomp.Q, jnp.asarray(S, dtype=decomp.Q.dtype))
     else:
         if jnp.issubdtype(decomp.Q.dtype, jnp.complexfloating):
-            X = decomp.Q @ jnp.asarray(S, dtype=decomp.Q.dtype)
+            X = _gemm(decomp.Q, jnp.asarray(S, dtype=decomp.Q.dtype))
         else:
             # Real Schur basis, complex pairs: two real device GEMMs,
             # combined on host — TPU backends have no complex arithmetic.
             Sr = jnp.asarray(S.real, dtype=decomp.Q.dtype)
             Si = jnp.asarray(S.imag, dtype=decomp.Q.dtype)
-            X = np.asarray(decomp.Q @ Sr) + 1j * np.asarray(decomp.Q @ Si)
+            X = np.asarray(_gemm(decomp.Q, Sr)) + 1j * np.asarray(
+                _gemm(decomp.Q, Si)
+            )
     return vals, X

@@ -22,6 +22,7 @@ __all__ = [
     "DenseOperator",
     "EllOperator",
     "CsrOperator",
+    "ShardedCsrOperator",
     "FunctionOperator",
     "ShiftInvertDenseOperator",
     "TridiagonalShiftInvertOperator",
@@ -378,6 +379,125 @@ class CsrOperator(LinearOperator):
         obj = object.__new__(cls)
         obj.rows, obj.indptr, obj.indices, obj.data = children
         obj.shape, obj.dtype = aux
+        return obj
+
+
+@register_pytree_node_class
+class ShardedCsrOperator(LinearOperator):
+    """Row-partitioned general-sparse operator over a 1-D device mesh —
+    the distributable layout for *irregular* row-length distributions
+    (the reference's `sprand` examples, test/schur_to_eigen.jl:7-12,
+    reached through the matrix-free `mul!` contract, run.jl:21-23).
+
+    Layout: rows are split into mesh-size contiguous, equal-count chunks;
+    each chunk's nonzeros are stored flat (CSR order) and padded to the
+    max per-chunk nnz.  Padding entries carry zero data and point at the
+    chunk's last local row, so segment ids stay sorted.  Unlike padded
+    ELL, the padding scales with the nnz *imbalance between shards* — not
+    with the max row length — so power-law rows cost ~nothing when row
+    order is uncorrelated with row weight.  (If all heavy rows cluster in
+    one chunk, apply a symmetric permutation to the matrix first; that is
+    a similarity transform, so the spectrum is unchanged.)
+
+    The matvec is a `shard_map`: one tiled all_gather of x over the mesh
+    (the unstructured-sparsity generalization of a halo exchange, riding
+    ICI), then a purely local gather + sorted segment_sum per shard.
+    """
+
+    def __init__(self, rows, cols, data, shape, mesh):
+        from ..parallel.mesh import ROWS
+
+        self.rows = rows
+        self.cols = cols
+        self.data = data
+        self.shape = tuple(shape)
+        self.dtype = data.dtype
+        self.mesh = mesh
+        self._axis = ROWS
+
+    @classmethod
+    def build(cls, indptr, indices, data, shape, mesh, dtype=None):
+        """Partition host CSR arrays over `mesh` (host-side, one pass)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import ROWS
+
+        indptr = np.asarray(indptr)
+        indices = np.asarray(indices)
+        data = np.asarray(data, dtype=dtype or data.dtype)
+        n = shape[0]
+        ndev = mesh.devices.size
+        if n % ndev != 0:
+            raise ValueError(
+                f"matrix rows ({n}) must be divisible by the mesh size "
+                f"({ndev}); pad the problem to a multiple first"
+            )
+        n_local = n // ndev
+        row_nnz = np.diff(indptr)
+        chunk_nnz = np.array([
+            int(indptr[(r + 1) * n_local] - indptr[r * n_local])
+            for r in range(ndev)
+        ])
+        nnz_pad = max(1, int(chunk_nnz.max()))
+        rows = np.full((ndev, nnz_pad), n_local - 1, dtype=np.int32)
+        cols = np.zeros((ndev, nnz_pad), dtype=np.int32)
+        vals = np.zeros((ndev, nnz_pad), dtype=data.dtype)
+        for r in range(ndev):
+            lo, hi = indptr[r * n_local], indptr[(r + 1) * n_local]
+            k = hi - lo
+            rows[r, :k] = np.repeat(
+                np.arange(n_local, dtype=np.int32),
+                row_nnz[r * n_local : (r + 1) * n_local],
+            )
+            cols[r, :k] = indices[lo:hi]
+            vals[r, :k] = data[lo:hi]
+        rowwise = NamedSharding(mesh, P(ROWS, None))
+        return cls(
+            jax.device_put(jnp.asarray(rows), rowwise),
+            jax.device_put(jnp.asarray(cols), rowwise),
+            jax.device_put(jnp.asarray(vals), rowwise),
+            shape,
+            mesh,
+        )
+
+    @property
+    def nnz(self):
+        return int(self.data.size)
+
+    def matvec(self, x):
+        from jax.sharding import PartitionSpec as P
+
+        n_local = self.shape[0] // self.mesh.devices.size
+        axis = self._axis
+
+        def local_mv(rows, cols, data, x_shard):
+            x_full = jax.lax.all_gather(x_shard, axis, axis=0, tiled=True)
+            prods = data[0] * x_full[cols[0]]
+            return jax.ops.segment_sum(
+                prods, rows[0], num_segments=n_local, indices_are_sorted=True
+            )
+
+        return jax.shard_map(
+            local_mv,
+            mesh=self.mesh,
+            in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+            out_specs=P(axis),
+        )(self.rows, self.cols, self.data, x)
+
+    def tree_flatten(self):
+        return (self.rows, self.cols, self.data), (
+            self.shape,
+            self.mesh,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.rows, obj.cols, obj.data = children
+        obj.shape, obj.mesh = aux
+        obj.dtype = getattr(obj.data, "dtype", None)
+        from ..parallel.mesh import ROWS
+
+        obj._axis = ROWS
         return obj
 
 

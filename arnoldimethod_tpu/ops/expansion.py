@@ -122,6 +122,20 @@ def expand_range_impl(op, V, H, j0, j1, key):
 expand_range = jax.jit(expand_range_impl, donate_argnums=(1, 2))
 
 
+@partial(jax.jit, donate_argnums=(1, 2))
+def truncate_and_expand(op, V, H, Qbig, j0, j1, key):
+    """One fused device step per restart: the Krylov-Schur truncation
+    basis-change GEMM followed by the expansion sweep back to maxdim.
+
+    Fusing the two into a single dispatch matters on a remote-attached
+    TPU: the per-restart wall-clock floor is the host<->device round-trip
+    count, and this step leaves exactly one (dispatch + H readback) per
+    restart.  j0/j1 are traced scalars, so every (k, maxdim) pair reuses
+    one compiled program."""
+    V = jnp.matmul(Qbig.T, V, precision=_PREC)
+    return expand_range_impl(op, V, H, j0, j1, key)
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def set_initial_vector(V, v):
     """V[0] = v / ||v||; v is not mutated and need not be normalized

@@ -26,7 +26,13 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.operators import DenseOperator, DiaOperator, EllOperator
+from ..models.operators import (
+    CsrOperator,
+    DenseOperator,
+    DiaOperator,
+    EllOperator,
+    ShardedCsrOperator,
+)
 
 __all__ = [
     "make_mesh",
@@ -51,6 +57,24 @@ def make_mesh(n_devices=None, devices=None):
             )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (ROWS,))
+
+
+def make_pod_mesh():
+    """A 1-D `rows` mesh spanning every device of a multi-host pod slice.
+
+    For multi-host runs (BASELINE.json config 5) each host calls
+    `jax.distributed.initialize()` first, then this helper: device order
+    comes from `mesh_utils.create_device_mesh`, which lays the global
+    device list out so that mesh-adjacent devices are ICI-adjacent —
+    the row-partition boundary collectives (the all_gather of x segments
+    and the Gram-Schmidt psums) ride ICI within a slice and only cross
+    DCN at slice boundaries.  On a single host this is identical to
+    `make_mesh()`.
+    """
+    from jax.experimental import mesh_utils
+
+    devs = mesh_utils.create_device_mesh((len(jax.devices()),))
+    return Mesh(devs, (ROWS,))
 
 
 def basis_sharding(mesh):
@@ -98,4 +122,15 @@ def shard_operator(op, mesh):
         )
     if isinstance(op, DenseOperator):
         return DenseOperator(jax.device_put(op.A, rowwise))
+    if isinstance(op, CsrOperator):
+        # Irregular rows: re-partition the raw CSR arrays into per-shard
+        # flat nonzero runs (padding scales with shard imbalance, not max
+        # row length) and matvec through an explicit shard_map.
+        return ShardedCsrOperator.build(
+            np.asarray(op.indptr),
+            np.asarray(op.indices),
+            np.asarray(op.data),
+            op.shape,
+            mesh,
+        )
     return op

@@ -1,18 +1,26 @@
-"""Benchmark: README-parity convergence + SpMV throughput on one chip.
+"""Benchmark: README-parity convergence, SpMV roofline, and the
+BASELINE.json north-star configs, on one TPU chip.
 
 Prints ONE JSON line:
   metric      -- matvecs to converge the README config (100x100 1-D
                  Laplacian, nev=10, :SR, tol=1e-6); reference needs 174
                  (BASELINE.md), hardware-independent.
   vs_baseline -- 174 / our matvecs (1.0 = parity, higher = better).
-  extra keys  -- steady-state solve wall-clock, Schur residual, SpMV
-                 nnz/s on 1M-row and 16M-row 2-D Laplacians (north-star,
-                 BASELINE.json).
+  extra keys  -- per-phase measurements:
+    readme_*      solve wall cold/warm + host/device latency breakdown
+    spmv_*        Pallas 5-point stencil nnz/s on 1M rows
+    spmv_16m_*    same on 16M rows (4096x4096 grid)
+    roofline_*    HBM memcpy bandwidth, XLA-stencil nnz/s, and the Pallas
+                  kernel's fraction of the memcpy roofline
+    e2e1m_*       config 2: 1M-row 2-D Laplacian, nev=20 smallest
+    conv_*        config 3: convection-diffusion :LM with complex pairs
+    shiftinv_*    config 4: n=6000 tridiagonal shift-invert solve
+    kernels_*     compiled (non-interpret) Pallas vs XLA equality on-device
 
-The TPU here sits behind a remote compile service whose latency is
-bimodal (seconds to tens of minutes for identical programs), so each
-phase runs in a subprocess with a hard timeout and the JSON line is
-emitted no matter what; timed-out phases report null.
+The TPU sits behind a remote compile service whose latency is bimodal
+(seconds to tens of minutes for identical programs), so each phase runs
+in a subprocess with a hard timeout and the JSON line is emitted no
+matter what; timed-out phases report null.
 """
 
 import json
@@ -34,8 +42,15 @@ def _jax():
     return jax
 
 
+def _fence(x):
+    """Scalar readback = reliable fence on this platform (block_until_ready
+    does not reliably fence the async stream here).  Index on device first
+    so only the scalar crosses the tunnel."""
+    return float(x.ravel()[0] if hasattr(x, "ravel") else x)
+
+
 def readme_parity():
-    jax = _jax()
+    _jax()
     import numpy as np
 
     from arnoldimethod_tpu import partial_schur
@@ -69,44 +84,57 @@ def readme_parity():
         "schur_residual": resid,
         "readme_wall_s": round(wall, 3),
         "readme_wall_warm_s": round(warm_wall, 3),
+        "readme_restarts": history.restarts,
+        # Latency breakdown of the warm solve: 'device' = jitted dispatch +
+        # H readback round trips, 'dense' = host restart kernels.
+        "readme_device_s": round(history.timings.get("device", 0.0), 4),
+        "readme_dense_s": round(history.timings.get("dense", 0.0), 4),
     }
 
 
-def spmv(grid, iters):
-    jax = _jax()
+def _stencil_op(grid, use_pallas=None):
     import jax.numpy as jnp
 
     from arnoldimethod_tpu.models.operators import Stencil5Operator
 
     # 0.130-scaled 2-D Laplacian: spectral radius ~1, so the iterated
-    # vector stays finite across `iters` back-to-back matvecs, and each
-    # iteration is exactly one SpMV (the scale lives in A's coefficients).
+    # vector stays finite across back-to-back matvecs, and each iteration
+    # is exactly one SpMV (the scale lives in A's coefficients).
     s = 0.130
-    op = Stencil5Operator(
+    return Stencil5Operator(
         tuple(s * c for c in (4.0, -1.0, -1.0, -1.0, -1.0)),
         (grid, grid),
         dtype=jnp.float32,
+        use_pallas=use_pallas,
     )
+
+
+def _spmv_time(op, iters, reps=3):
+    jax = _jax()
+    import jax.numpy as jnp
+
     n = op.shape[0]
-    nnz = op.nnz
     x = jnp.ones(n, dtype=jnp.float32)
 
     @jax.jit
     def run(y, steps):
         return jax.lax.fori_loop(0, steps, lambda i, y: op.matvec(y), y)
 
-    # NOTE: on this platform block_until_ready does not reliably fence the
-    # async stream — a scalar readback does.  First rep absorbs stragglers
-    # and is discarded.
-    _ = float(run(x, 2)[0])  # warm-up / compile
-    reps = []
-    for r in range(3):
+    _fence(run(x, 2))  # warm-up / compile; first rep absorbs stragglers
+    times = []
+    for r in range(reps):
         t0 = time.perf_counter()
         y = run(x * (1.0 + 0.001 * r), iters)
-        _ = float(y[0])
-        reps.append((time.perf_counter() - t0) / iters)
-    dt = min(reps[1:])
-    key = "spmv" if grid == 1024 else f"spmv_{grid}"
+        _fence(y)
+        times.append((time.perf_counter() - t0) / iters)
+    return min(times[1:]) if len(times) > 1 else times[0]
+
+
+def spmv(grid, iters, key=None):
+    op = _stencil_op(grid)
+    dt = _spmv_time(op, iters)
+    nnz = op.nnz
+    key = key or ("spmv" if grid == 1024 else f"spmv_{grid}")
     return {
         f"{key}_gnnz_per_s": round(nnz / dt / 1e9, 3),
         f"{key}_us_per_iter": round(dt * 1e6, 2),
@@ -114,10 +142,258 @@ def spmv(grid, iters):
     }
 
 
+def roofline():
+    """HBM memcpy roofline + the XLA (non-Pallas) stencil on the same 1M-row
+    grid, so the Pallas number has context: the 5-point stencil moves
+    ~8 B/row (x in + y out, f32), so nnz/s * 1.6 B = effective GB/s."""
+    jax = _jax()
+    import jax.numpy as jnp
+
+    # Memcpy bandwidth: y = x.copy() on a 256 MiB array -> 512 MiB traffic.
+    n = 64 * 1024 * 1024  # 256 MiB f32
+    x = jnp.ones(n, dtype=jnp.float32)
+
+    @jax.jit
+    def copy(x):
+        return x * 1.0000001  # multiply forces a real read+write pass
+
+    _fence(copy(x))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        y = copy(x)
+        _fence(y)
+        times.append(time.perf_counter() - t0)
+    dt = min(times[1:])
+    memcpy_gbs = 2 * 4 * n / dt / 1e9
+
+    out = {"roofline_memcpy_gbs": round(memcpy_gbs, 1)}
+
+    # XLA formulation of the same stencil (no Pallas).
+    op_xla = _stencil_op(1024, use_pallas=False)
+    dt_xla = _spmv_time(op_xla, 500)
+    out["roofline_xla_gnnz_per_s"] = round(op_xla.nnz / dt_xla / 1e9, 3)
+
+    # Pallas formulation + roofline fraction.
+    op_pal = _stencil_op(1024, use_pallas=True)
+    dt_pal = _spmv_time(op_pal, 500)
+    pal_gnnz = op_pal.nnz / dt_pal / 1e9
+    n_rows = op_pal.shape[0]
+    eff_gbs = 2 * 4 * n_rows / dt_pal / 1e9  # x read + y write
+    out["roofline_pallas_gnnz_per_s"] = round(pal_gnnz, 3)
+    out["roofline_pallas_eff_gbs"] = round(eff_gbs, 1)
+    out["spmv_roofline_frac"] = round(eff_gbs / memcpy_gbs, 3)
+    out["roofline_pallas_vs_xla"] = round(dt_xla / dt_pal, 2)
+    return out
+
+
+def e2e_1m():
+    """Config 2 (BASELINE.json): 1M-row 2-D Laplacian, nev=20 smallest,
+    tol=1e-6 — the end-to-end north-star solve.  Interior-gap :SR is the
+    hard direction for restarted Arnoldi; generous subspace sizes keep the
+    restart count sane."""
+    _jax()
+    import numpy as np
+    import jax
+
+    from arnoldimethod_tpu import partial_schur
+
+    op = _stencil_op(1024)
+    t0 = time.perf_counter()
+    decomp, history = partial_schur(
+        op, nev=20, which="SR", tol=1e-6, mindim=40, maxdim=80, restarts=400
+    )
+    np.asarray(decomp.Q[:, :1])
+    wall = time.perf_counter() - t0
+
+    # Residual via device matvecs (no dense reconstruction at n=1M).
+    Q = decomp.Q
+    import jax.numpy as jnp
+
+    AQ = jax.jit(jax.vmap(op.matvec, in_axes=1, out_axes=1))(Q)
+    R = jnp.asarray(np.asarray(decomp.R), dtype=jnp.float32)
+    resid = float(jnp.linalg.norm(AQ - Q @ R))
+    lam_min = 0.130 * (8 - 4 * np.cos(np.pi / 1025) - 4 * np.cos(np.pi / 1025))
+    return {
+        "e2e1m_wall_s": round(wall, 2),
+        "e2e1m_matvecs": history.mvproducts,
+        "e2e1m_restarts": history.restarts,
+        "e2e1m_converged": bool(history.converged),
+        "e2e1m_nconverged": history.nconverged,
+        "e2e1m_schur_residual": round(resid, 9),
+        "e2e1m_device_s": round(history.timings.get("device", 0.0), 2),
+        "e2e1m_dense_s": round(history.timings.get("dense", 0.0), 2),
+        "e2e1m_lam_min_err": round(
+            float(abs(np.min(decomp.eigenvalues.real) - lam_min)), 9
+        ),
+    }
+
+
+def conv_diffusion():
+    """Config 3 (BASELINE.json): nonsymmetric convection-diffusion, :LM,
+    exercising 2x2-block real Schur + reordering at scale.  peclet is set
+    past the oscillatory threshold (beta > 1) so the spectrum genuinely
+    has conjugate pairs."""
+    _jax()
+    import numpy as np
+
+    from arnoldimethod_tpu import partial_schur
+    from arnoldimethod_tpu.models.problems import convection_diffusion_2d
+
+    nx = 512  # n = 262144
+    op = convection_diffusion_2d(
+        nx, peclet=4.0 * (nx + 1), dtype=np.float32, fmt="stencil"
+    )
+    t0 = time.perf_counter()
+    decomp, history = partial_schur(
+        op, nev=10, which="LM", tol=1e-6, mindim=20, maxdim=40
+    )
+    np.asarray(decomp.Q[:, :1])
+    wall = time.perf_counter() - t0
+    n_complex = int(np.sum(decomp.eigenvalues.imag != 0))
+    return {
+        "conv_wall_s": round(wall, 2),
+        "conv_matvecs": history.mvproducts,
+        "conv_converged": bool(history.converged),
+        "conv_complex_pairs": n_complex // 2,
+    }
+
+
+def shift_invert():
+    """Config 4 (BASELINE.json) / reference bench/partial_schur.jl:37-52:
+    n=6000 tridiagonal (-1, 2, -1.001), shift-invert at sigma=0, nev=10,
+    mindim=11, maxdim=22 — the associative-scan triangular solves."""
+    jax = _jax()
+    import numpy as np
+
+    from arnoldimethod_tpu import TridiagonalShiftInvertOperator, partial_schur
+
+    n = 6000
+    dl = np.full(n - 1, -1.0)
+    d = np.full(n, 2.0)
+    du = np.full(n - 1, -1.001)
+    t0 = time.perf_counter()
+    si = TridiagonalShiftInvertOperator.build(dl, d, du, sigma=0.0, dtype=np.float32)
+    jax.block_until_ready(si.factors[0])
+    t_fact = time.perf_counter() - t0
+
+    def solve():
+        t0 = time.perf_counter()
+        decomp, history = partial_schur(
+            si, nev=10, which="LM", tol=1e-7, mindim=11, maxdim=22
+        )
+        np.asarray(decomp.Q[:, :1])
+        return time.perf_counter() - t0, decomp, history
+
+    t_cold, _, _ = solve()
+    t_warm, decomp, history = solve()
+
+    lams = 0.0 + 1.0 / decomp.eigenvalues.real
+    exact = 2.0 + 2.0 * np.sqrt(1.001) * np.cos(np.arange(1, n + 1) * np.pi / (n + 1))
+    eig_err = max(np.min(np.abs(exact - l)) for l in lams) / 4.003
+    return {
+        "shiftinv_factorize_s": round(t_fact, 3),
+        "shiftinv_wall_s": round(t_cold, 3),
+        "shiftinv_wall_warm_s": round(t_warm, 3),
+        "shiftinv_matvecs": history.mvproducts,
+        "shiftinv_converged": bool(history.converged),
+        "shiftinv_eig_err": float(f"{eig_err:.3e}"),
+    }
+
+
+def kernels():
+    """TPU-compiled Pallas validation (not interpret mode): stencil5 and
+    BSR kernels vs the XLA formulations, allclose on device.  A Mosaic
+    compile or alignment regression fails here instead of shipping green
+    through the interpret-only CI tier."""
+    jax = _jax()
+    import numpy as np
+    import jax.numpy as jnp
+
+    out = {}
+    # Stencil: Pallas vs XLA on a 256x256 grid, random input.
+    op_p = _stencil_op(256, use_pallas=True)
+    op_x = _stencil_op(256, use_pallas=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (op_p.shape[0],), jnp.float32)
+    y_p = np.asarray(jax.jit(op_p.matvec)(x))
+    y_x = np.asarray(jax.jit(op_x.matvec)(x))
+    err = float(np.max(np.abs(y_p - y_x)))
+    out["kernels_stencil_max_err"] = float(f"{err:.3e}")
+    out["kernels_stencil_ok"] = bool(err < 1e-5)
+
+    # BSR: Pallas scalar-prefetch kernel vs einsum fallback.
+    from arnoldimethod_tpu.models.operators import dense_to_bsr
+
+    rng = np.random.default_rng(1)
+    A = np.zeros((512, 512), dtype=np.float32)
+    for i in range(0, 512, 128):
+        for j in (0, 128, 256, 384):
+            if rng.random() < 0.6:
+                A[i : i + 128, j : j + 128] = rng.standard_normal((128, 128))
+    op_bp = dense_to_bsr(A, block_size=128, use_pallas=True)
+    op_be = dense_to_bsr(A, block_size=128, use_pallas=False)
+    xb = jax.random.normal(jax.random.PRNGKey(2), (512,), jnp.float32)
+    y_bp = np.asarray(jax.jit(op_bp.matvec)(xb))
+    y_be = np.asarray(jax.jit(op_be.matvec)(xb))
+    errb = float(np.max(np.abs(y_bp - y_be)))
+    scale = float(np.max(np.abs(y_be))) or 1.0
+    out["kernels_bsr_max_relerr"] = float(f"{errb / scale:.3e}")
+    out["kernels_bsr_ok"] = bool(errb / scale < 1e-3)
+    return out
+
+
+def spmv_csr():
+    """Irregular-sparsity SpMV on one chip: a power-law row-length matrix
+    (sprand-like) through the CSR gather+segment_sum path."""
+    jax = _jax()
+    import numpy as np
+    import jax.numpy as jnp
+
+    from arnoldimethod_tpu.models.operators import CsrOperator
+
+    n = 1 << 20
+    rng = np.random.default_rng(0)
+    row_nnz = np.minimum(rng.zipf(1.8, size=n).astype(np.int64), 512)
+    nnz = int(row_nnz.sum())
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    indptr[1:] = np.cumsum(row_nnz)
+    indices = rng.integers(0, n, size=nnz).astype(np.int32)
+    data = rng.standard_normal(nnz).astype(np.float32) * 0.05
+    op = CsrOperator(indptr, indices, data, (n, n))
+    dt = _spmv_time(op, 200)
+    return {
+        "spmv_csr_gnnz_per_s": round(nnz / dt / 1e9, 3),
+        "spmv_csr_us_per_iter": round(dt * 1e6, 2),
+        "spmv_csr_nnz": nnz,
+        "spmv_csr_max_row": int(row_nnz.max()),
+    }
+
+
 PHASES = {
     "readme": readme_parity,
     "spmv1m": lambda: spmv(1024, 1000),
+    "spmv16m": lambda: spmv(4096, 100, key="spmv_16m"),
+    "roofline": roofline,
+    "e2e1m": e2e_1m,
+    "conv": conv_diffusion,
+    "shiftinv": shift_invert,
+    "kernels": kernels,
+    "spmvcsr": spmv_csr,
 }
+
+# Order matters: the cheap/high-signal phases run first so a timeout tail
+# cannot eat the primary metric.
+PHASE_ORDER = [
+    "readme",
+    "spmv1m",
+    "roofline",
+    "kernels",
+    "shiftinv",
+    "conv",
+    "spmvcsr",
+    "spmv16m",
+    "e2e1m",
+]
 
 
 def _run_phase_subprocess(name):
@@ -143,8 +419,12 @@ def main():
         print(json.dumps(PHASES[sys.argv[2]]()))
         return
 
+    only = None
+    if len(sys.argv) >= 3 and sys.argv[1] == "--only":
+        only = sys.argv[2].split(",")
+
     results = {}
-    for name in ("readme", "spmv1m"):
+    for name in only or PHASE_ORDER:
         results.update(_run_phase_subprocess(name))
 
     matvecs = results.get("value")

@@ -74,3 +74,21 @@ def test_restarts_limit_returns_partial():
     assert not history.converged
     assert history.nconverged < 8
     assert decomp.Q.shape == (300, history.nconverged)
+
+
+def test_64bit_dtypes_rejected_on_tpu(monkeypatch):
+    """float64/complex128 on a TPU backend fail loudly up front with a
+    pointer to docs/precision.md, instead of dying inside XLA lowering."""
+    import jax as _jax
+
+    class _FakeTpu:
+        platform = "tpu"
+
+    monkeypatch.setattr(_jax, "local_devices", lambda: [_FakeTpu()])
+    A = np.diag(np.arange(1.0, 21.0))
+    with pytest.raises(NotImplementedError, match="precision.md"):
+        partial_schur(A, nev=2)
+    with pytest.raises(NotImplementedError, match="complex"):
+        partial_schur(A.astype(np.complex128), nev=2)
+    with pytest.raises(NotImplementedError, match="complex"):
+        partial_schur(A.astype(np.complex64), nev=2)
