@@ -202,6 +202,7 @@ def partial_schur(
     initialize=None,
     seed=0,
     sharding=None,
+    method=None,
 ):
     """Compute an approximate partial Schur decomposition A Q = Q R with
     `nev` eigenvalues near the target `which`.
@@ -220,6 +221,17 @@ def partial_schur(
     previous decomposition) plus `start_from` = previous nconverged, to
     continue locking more eigenvalues — the checkpoint/resume mechanism
     (ref: partialschur!, run.jl:131-179).
+
+    `method` selects where the dense restart work runs:
+      - "host" — host float64 dense kernels, one device round trip per
+        restart (the numpy/C++ layer; supports every dtype and warm
+        starts);
+      - "device" — the ENTIRE restart loop compiles into one device
+        program (fused.py; real dtypes, cold starts): no per-restart
+        host<->device latency, which on remote-attached TPUs is the
+        dominant cost of small/medium solves;
+      - None (default) — "device" on TPU backends when eligible,
+        "host" otherwise.
     """
     op = as_operator(A, n=n, dtype=dtype)
     n = op.shape[0]
@@ -306,9 +318,71 @@ def partial_schur(
                 ws.V, active0, jax.random.fold_in(key, 2**31)
             )
 
+    is_real = not jnp.issubdtype(work_dtype, jnp.complexfloating)
+    eligible_device = is_real and workspace is None and active0 == 0
+    if method is None:
+        platform = (
+            next(iter(sharding.device_set)).platform
+            if sharding is not None
+            else jax.local_devices()[0].platform
+        )
+        method = "device" if (platform == "tpu" and eligible_device) else "host"
+    if method not in ("host", "device"):
+        raise ValueError(f"method must be 'host' or 'device', got {method!r}")
+    if method == "device":
+        if not is_real:
+            raise ValueError(
+                "method='device' supports real dtypes only (split-complex "
+                "pair bookkeeping; TPU has no complex dtypes)"
+            )
+        if workspace is not None or active0 != 0:
+            raise ValueError(
+                "method='device' does not support warm starts; "
+                "use method='host'"
+            )
+        return _partial_schur_device(
+            op, ws, mindim, maxdim, nev, tol, restarts, target, key
+        )
+
     schur, history = _partial_schur(
         op, ws, mindim, maxdim, nev, tol, restarts, target, order_key, active0, key
     )
+    return schur, history
+
+
+def _partial_schur_device(op, ws, mindim, maxdim, nev, tol, restarts, target, key):
+    """Dispatch the fully fused on-device solve (fused.py) and repackage
+    its outputs in the same PartialSchur/History types, leaving the
+    workspace coherent for a subsequent host-path warm start."""
+    import time as _time
+
+    from .fused import fused_solve
+
+    t0 = _time.perf_counter()
+    Hdev = jnp.asarray(ws.H, dtype=ws.dtype)
+    V, Hd, lre, lim, ncv, prods, its, purges, qr_ok = fused_solve(
+        op, ws.V, Hdev, nev, mindim, tol, restarts, key, type(target).__name__
+    )
+    Hh = np.asarray(Hd, dtype=ws.H.dtype)
+    ncv = int(ncv)
+    lam = np.asarray(lre, dtype=np.float64) + 1j * np.asarray(lim, dtype=np.float64)
+    device_s = _time.perf_counter() - t0
+    if not bool(qr_ok):
+        raise RuntimeError("QR algorithm did not converge")
+
+    ws.V = V
+    ws.H[:] = Hh
+
+    history = History(
+        int(prods),
+        ncv,
+        ncv >= nev,
+        nev,
+        restarts=int(its),
+        purges=int(purges),
+        timings={"device": device_s, "dense": 0.0},
+    )
+    schur = PartialSchur(V[:ncv].T, Hh[:ncv, :ncv].copy(), lam[:ncv].copy())
     return schur, history
 
 

@@ -1,0 +1,184 @@
+"""Fully on-device Krylov-Schur solve: the restart loop as ONE compiled
+device program.
+
+The host driver (driver.py) keeps the dense restart work on the host and
+pays one host<->device round trip per restart — on a remote-attached TPU
+that round trip (~tens of ms) IS the wall-clock of small and medium
+solves.  This module runs the complete algorithm — Arnoldi expansion,
+Francis QR, Ritz extraction, locking/purging decisions, Sylvester-swap
+partitioning, Hessenberg restoration, truncation — inside a single
+`lax.while_loop` over restarts (dense/device.py kernels), so the only
+transfers are the initial upload and the final readback.
+
+Semantics mirror driver._partial_schur restart-for-restart (same
+convergence criterion, same truncation rule, same conjugate-pair and
+purge handling); the difference is the dense arithmetic runs in the
+device dtype (float32 on TPU) instead of host float64 — acceptable
+because the convergence criterion floors at eps(work dtype) * ||H||_F
+either way (docs/precision.md).  Real dtypes only: conjugate-pair
+bookkeeping is split-complex (TPU has no complex dtypes).
+
+Behavioral reference: ArnoldiMethod.jl src/run.jl:224-392 via driver.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .dense.device import (
+    eigenvalues_jax,
+    local_schur_jax,
+    order_key_jax,
+    partition_three_way_jax,
+    residuals_jax,
+    restore_arnoldi_jax,
+    sort_schur_jax,
+)
+from .ops.expansion import _PREC, expand_range_impl
+
+__all__ = ["fused_solve"]
+
+
+@partial(jax.jit, static_argnames=("which", "maxiter_qr"), donate_argnums=(1, 2))
+def fused_solve(op, V, H, nev, mindim, tol, restarts, key, which, maxiter_qr=None):
+    """Run the complete Krylov-Schur iteration on device.
+
+    V: (m+1, n) with V[0] the normalized start vector, rows 1.. zero.
+    H: (m+1, m) zeros.  Returns (V, H, lam_re, lam_im, nconverged, prods,
+    its, purges, qr_ok) — V/H already truncated and sorted into the target
+    order, eigenvalues of the leading blocks in lam_re/lam_im.
+    """
+    m = H.shape[1]
+    dtype = H.dtype
+    eps = float(jnp.finfo(dtype).eps)
+    idxv = jnp.arange(m)
+
+    nev = jnp.int32(nev)
+    mindim = jnp.int32(mindim)
+    restarts = jnp.int32(restarts)
+    tol = jnp.asarray(tol, dtype)
+
+    # Initial expansion straight to maxdim (driver.py does the same).
+    V, H = expand_range_impl(op, V, H, 0, m, jax.random.fold_in(key, 0))
+
+    def body(state):
+        V, H, active, prods, it, purges, done, qr_ok = state
+
+        # --- dense restart phase (all on device) -----------------------
+        Q = jnp.eye(m, dtype=dtype)
+        H, Q, ok = local_schur_jax(H, Q, active, m, eps, maxiter_qr)
+        qr_ok = qr_ok & ok
+        lam_re, lam_im, _ = eigenvalues_jax(H, eps)
+        rs = residuals_jax(H, Q, H[m, m - 1], active, m, eps)
+        hfrob = jnp.linalg.norm(H)
+
+        keys = order_key_jax(which, lam_re, lam_im)
+        ord_ = jnp.argsort(keys, stable=True)
+        lre_s = lam_re[ord_]
+        lim_s = lam_im[ord_]
+        conv_s = rs[ord_] <= jnp.maximum(eps * hfrob, tol * jnp.hypot(lre_s, lim_s))
+
+        # Conjugate pair at sorted position p (pairs are exactly
+        # conjugate by construction, so bit-equality mirrors the host's
+        # np.conj equality test).
+        lre_n = jnp.concatenate([lre_s[1:], jnp.zeros(1, dtype)])
+        lim_n = jnp.concatenate([lim_s[1:], jnp.zeros(1, dtype)])
+        pair_at = (
+            (lim_s != 0)
+            & (lre_s == lre_n)
+            & (lim_s == -lim_n)
+            & (idxv < m - 1)
+        )
+        effective_nev = nev + pair_at[jnp.maximum(nev - 1, 0)]
+
+        head = idxv < effective_nev
+        nlock = jnp.sum(jnp.where(conv_s & head, 1, 0)).astype(jnp.int32)
+        maxdim_c = jnp.int32(m)
+        ideal = jnp.minimum(nlock + mindim, (mindim + maxdim_c) // 2)
+
+        # Tail walk (positions >= effective_nev, stepping over pairs):
+        # groups 2 (retained) until k reaches ideal, then 3 (purged);
+        # converged-but-unwanted values are purged (driver.py loop).
+        def scan_body(carry, inp):
+            k, skip, grp_prev = carry
+            pos, pair, conv = inp
+            in_tail = pos >= effective_nev
+            grp_lead = jnp.where((k < ideal) & ~conv, 2, 3)
+            grp = jnp.where(skip, grp_prev, grp_lead)
+            num = jnp.where(pair, 2, 1)
+            k2 = jnp.where(in_tail & ~skip & (grp == 2), k + num, k)
+            out = jnp.where(in_tail, grp, jnp.where(conv, 1, 2))
+            skip2 = in_tail & ~skip & pair
+            return (k2, skip2, grp), out
+
+        (k, _, _), grp_sorted = lax.scan(
+            scan_body,
+            (effective_nev, jnp.asarray(False), jnp.int32(0)),
+            (idxv, pair_at, conv_s),
+        )
+        groups = jnp.zeros(m, jnp.int32).at[ord_].set(grp_sorted)
+
+        cand = (idxv < active) & (groups != 1)
+        purge = jnp.min(jnp.where(cand, idxv, active))
+        purges = purges + jnp.where(purge < active, 1, 0)
+
+        H, Q = partition_three_way_jax(H, Q, groups)
+        H, Q = restore_arnoldi_jax(H, Q, nlock, k)
+
+        # --- truncation basis change (driver.py Qbig) ------------------
+        colsQ = jnp.arange(m + 1)
+        rowsQ = jnp.arange(m + 1)
+        Qpad = jnp.zeros((m + 1, m + 1), dtype).at[:m, :m].set(Q)
+        eye_b = jnp.eye(m + 1, dtype=dtype)
+        colmask = (colsQ >= purge) & (colsQ < k)
+        inner = (rowsQ[:, None] >= purge) & (rowsQ[:, None] < m)
+        Qbig = jnp.where(colmask[None, :], jnp.where(inner, Qpad, 0.0), eye_b)
+        e_m = (rowsQ == m).astype(dtype)
+        Qbig = Qbig.at[:, jnp.minimum(k, m)].set(
+            jnp.where(k < m, e_m, Qbig[:, jnp.minimum(k, m)])
+        )
+        V = jnp.matmul(Qbig.T, V, precision=_PREC)
+
+        active = nlock
+        it = it + 1
+        done = (active >= nev) | (it >= restarts)
+
+        # --- re-expansion (skipped on the final iteration) -------------
+        def expand(VH):
+            V, H = VH
+            return expand_range_impl(op, V, H, k, m, jax.random.fold_in(key, it))
+
+        V, H = lax.cond(done, lambda VH: VH, expand, (V, H))
+        prods = prods + jnp.where(done, 0, m - k)
+        return V, H, active, prods, it, purges, done, qr_ok
+
+    def cond(state):
+        done = state[6]
+        return ~done
+
+    state0 = (
+        V,
+        H,
+        jnp.int32(0),
+        jnp.int32(m),
+        jnp.int32(0),
+        jnp.int32(0),
+        restarts <= 0,  # restarts=0: no dense phase at all (host parity)
+        jnp.asarray(True),
+    )
+    V, H, active, prods, it, purges, _, qr_ok = lax.while_loop(cond, body, state0)
+
+    # Final sort into the target order + the corresponding basis change.
+    Q = jnp.eye(m, dtype=dtype)
+    H, Q = sort_schur_jax(H, Q, active, which)
+    Qbig = jnp.eye(m + 1, dtype=dtype).at[:m, :m].set(Q)
+    V = jnp.matmul(Qbig.T, V, precision=_PREC)
+    lam_re, lam_im, _ = eigenvalues_jax(H)
+
+    return V, H, lam_re, lam_im, active, prods, it, purges, qr_ok
