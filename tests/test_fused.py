@@ -148,3 +148,33 @@ def test_device_restart_limit():
     d0, h0 = partial_schur(A, nev=8, tol=1e-14, restarts=1, method="host")
     assert h.mvproducts == h0.mvproducts
     assert h.nconverged == h0.nconverged
+
+
+def test_device_method_on_mesh():
+    """The fused program compiles and runs under mesh shardings too
+    (GSPMD partitions the expansion; the dense while_loop stays
+    replicated), with identical matvec counts to single-device."""
+    import jax
+    from arnoldimethod_tpu.models.problems import laplacian_1d
+    from arnoldimethod_tpu.parallel import (
+        basis_sharding,
+        make_mesh,
+        shard_operator,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    n = 256
+    op = laplacian_1d(n)
+    mesh = make_mesh(8)
+    sop = shard_operator(op, mesh)
+    d0, h0 = partial_schur(op, nev=4, which="SR", tol=1e-8, method="device")
+    d1, h1 = partial_schur(
+        sop, nev=4, which="SR", tol=1e-8,
+        sharding=basis_sharding(mesh), method="device",
+    )
+    assert h1.mvproducts == h0.mvproducts
+    assert len(d1.Q.sharding.device_set) == 8
+    assert np.allclose(
+        np.sort(d0.eigenvalues.real), np.sort(d1.eigenvalues.real), atol=1e-10
+    )
