@@ -63,11 +63,19 @@ def readme_parity():
     wall = time.perf_counter() - t0
 
     # Second run: every device program is compiled, so this is the
-    # steady-state solve time (the first is compile-dominated).
+    # steady-state solve time (the first is compile-dominated).  On TPU
+    # this takes the fused on-device path (method auto -> "device").
     t0 = time.perf_counter()
     decomp, history = partial_schur(op, nev=10, which="SR", tol=1e-6)
     np.asarray(decomp.Q)
     warm_wall = time.perf_counter() - t0
+
+    # Host-dense path for comparison: one round trip per restart.
+    partial_schur(op, nev=10, which="SR", tol=1e-6, method="host")
+    t0 = time.perf_counter()
+    _, history_host = partial_schur(op, nev=10, which="SR", tol=1e-6, method="host")
+    np.asarray(decomp.Q)
+    warm_wall_host = time.perf_counter() - t0
 
     A = (
         np.diag(np.full(100, 2.0))
@@ -84,11 +92,12 @@ def readme_parity():
         "schur_residual": resid,
         "readme_wall_s": round(wall, 3),
         "readme_wall_warm_s": round(warm_wall, 3),
+        "readme_wall_warm_host_s": round(warm_wall_host, 3),
         "readme_restarts": history.restarts,
-        # Latency breakdown of the warm solve: 'device' = jitted dispatch +
-        # H readback round trips, 'dense' = host restart kernels.
-        "readme_device_s": round(history.timings.get("device", 0.0), 4),
-        "readme_dense_s": round(history.timings.get("dense", 0.0), 4),
+        # Latency breakdown of the warm HOST-path solve: 'device' = jitted
+        # dispatch + H readback round trips, 'dense' = host restart kernels.
+        "readme_host_device_s": round(history_host.timings.get("device", 0.0), 4),
+        "readme_host_dense_s": round(history_host.timings.get("dense", 0.0), 4),
     }
 
 
@@ -200,8 +209,12 @@ def e2e_1m():
 
     op = _stencil_op(1024)
     t0 = time.perf_counter()
+    # method="host": the fused program at maxdim=80 is large, and its first
+    # compile on the remote service can eat the phase budget; the host
+    # path's per-restart round trips are amortized by the large-n matvecs.
     decomp, history = partial_schur(
-        op, nev=20, which="SR", tol=1e-6, mindim=40, maxdim=80, restarts=400
+        op, nev=20, which="SR", tol=1e-6, mindim=40, maxdim=80, restarts=400,
+        method="host",
     )
     np.asarray(decomp.Q[:, :1])
     wall = time.perf_counter() - t0
@@ -246,7 +259,7 @@ def conv_diffusion():
     )
     t0 = time.perf_counter()
     decomp, history = partial_schur(
-        op, nev=10, which="LM", tol=1e-6, mindim=20, maxdim=40
+        op, nev=10, which="LM", tol=1e-6, mindim=20, maxdim=40, method="host"
     )
     np.asarray(decomp.Q[:, :1])
     wall = time.perf_counter() - t0
@@ -280,7 +293,8 @@ def shift_invert():
     def solve():
         t0 = time.perf_counter()
         decomp, history = partial_schur(
-            si, nev=10, which="LM", tol=1e-7, mindim=11, maxdim=22
+            si, nev=10, which="LM", tol=1e-7, mindim=11, maxdim=22,
+            method="host",
         )
         np.asarray(decomp.Q[:, :1])
         return time.perf_counter() - t0, decomp, history
