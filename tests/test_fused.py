@@ -178,3 +178,26 @@ def test_device_method_on_mesh():
     assert np.allclose(
         np.sort(d0.eigenvalues.real), np.sort(d1.eigenvalues.real), atol=1e-10
     )
+
+
+def test_device_repeated_eigenvalues():
+    """Triple eigenvalue at the target: locking/partitioning in the fused
+    loop survives irregular convergence (ref: test/partial_schur.jl:86-106)."""
+    dvals = np.concatenate(
+        [np.arange(1, 9.05, 0.1), [9.97, 9.98, 9.99, 10.0, 10.0, 10.0]]
+    )
+    A = np.diag(dvals)
+    d, h = partial_schur(A, nev=5, maxdim=20, tol=1e-12, method="device")
+    assert h.converged
+    Q = np.asarray(d.Q)
+    assert np.linalg.norm(Q.T @ Q - np.eye(Q.shape[1])) < 1e-10
+    R = np.asarray(d.R)
+    assert np.linalg.norm(A @ Q - Q @ R) < A.shape[0] * 1e-12 * np.linalg.norm(A, 1)
+
+
+def test_device_target_non_dominant():
+    """:SR with dominant unwanted eigenvalues (ref: :79-84)."""
+    dvals = np.concatenate([np.arange(1, 10.05, 0.1), [50.0, 51.0, 52.0, 53.0]])
+    A = np.diag(dvals)
+    d, h = partial_schur(A, which="SR", method="device")
+    assert np.all(d.eigenvalues.real <= 10.0)
