@@ -227,9 +227,9 @@ def partial_schur(
         restart (the numpy/C++ layer; supports every dtype and warm
         starts);
       - "device" — the ENTIRE restart loop compiles into one device
-        program (fused.py; real dtypes, cold starts): no per-restart
-        host<->device latency, which on remote-attached TPUs is the
-        dominant cost of small/medium solves;
+        program (fused.py; real dtypes, warm starts included): no
+        per-restart host<->device latency, which on remote-attached TPUs
+        is the dominant cost of small/medium solves;
       - None (default) — "device" on TPU backends when eligible,
         "host" otherwise.
     """
@@ -319,14 +319,13 @@ def partial_schur(
             )
 
     is_real = not jnp.issubdtype(work_dtype, jnp.complexfloating)
-    eligible_device = is_real and workspace is None and active0 == 0
     if method is None:
         platform = (
             next(iter(sharding.device_set)).platform
             if sharding is not None
             else jax.local_devices()[0].platform
         )
-        method = "device" if (platform == "tpu" and eligible_device) else "host"
+        method = "device" if (platform == "tpu" and is_real) else "host"
     if method not in ("host", "device"):
         raise ValueError(f"method must be 'host' or 'device', got {method!r}")
     if method == "device":
@@ -335,13 +334,8 @@ def partial_schur(
                 "method='device' supports real dtypes only (split-complex "
                 "pair bookkeeping; TPU has no complex dtypes)"
             )
-        if workspace is not None or active0 != 0:
-            raise ValueError(
-                "method='device' does not support warm starts; "
-                "use method='host'"
-            )
         return _partial_schur_device(
-            op, ws, mindim, maxdim, nev, tol, restarts, target, key
+            op, ws, mindim, maxdim, nev, tol, restarts, target, key, active0
         )
 
     schur, history = _partial_schur(
@@ -350,10 +344,13 @@ def partial_schur(
     return schur, history
 
 
-def _partial_schur_device(op, ws, mindim, maxdim, nev, tol, restarts, target, key):
+def _partial_schur_device(op, ws, mindim, maxdim, nev, tol, restarts, target, key,
+                          active0=0):
     """Dispatch the fully fused on-device solve (fused.py) and repackage
     its outputs in the same PartialSchur/History types, leaving the
-    workspace coherent for a subsequent host-path warm start."""
+    workspace coherent for a subsequent warm start (either method).  For a
+    warm start the locked H block round-trips through the device dtype —
+    residual-level noise at that dtype's floor, same criterion either way."""
     import time as _time
 
     from .fused import fused_solve
@@ -361,7 +358,8 @@ def _partial_schur_device(op, ws, mindim, maxdim, nev, tol, restarts, target, ke
     t0 = _time.perf_counter()
     Hdev = jnp.asarray(ws.H, dtype=ws.dtype)
     V, Hd, lre, lim, ncv, prods, its, purges, qr_ok = fused_solve(
-        op, ws.V, Hdev, nev, mindim, tol, restarts, key, type(target).__name__
+        op, ws.V, Hdev, nev, mindim, tol, restarts, key, type(target).__name__,
+        active0,
     )
     Hh = np.asarray(Hd, dtype=ws.H.dtype)
     ncv = int(ncv)

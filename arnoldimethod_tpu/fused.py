@@ -46,13 +46,17 @@ __all__ = ["fused_solve"]
 
 
 @partial(jax.jit, static_argnames=("which", "maxiter_qr"), donate_argnums=(1, 2))
-def fused_solve(op, V, H, nev, mindim, tol, restarts, key, which, maxiter_qr=None):
+def fused_solve(op, V, H, nev, mindim, tol, restarts, key, which, active0=0,
+                maxiter_qr=None):
     """Run the complete Krylov-Schur iteration on device.
 
-    V: (m+1, n) with V[0] the normalized start vector, rows 1.. zero.
-    H: (m+1, m) zeros.  Returns (V, H, lam_re, lam_im, nconverged, prods,
-    its, purges, qr_ok) — V/H already truncated and sorted into the target
-    order, eigenvalues of the leading blocks in lam_re/lam_im.
+    V: (m+1, n) with V[active0] the normalized start vector; for a warm
+    start (active0 > 0) rows [0, active0) hold locked Schur vectors and
+    H's leading columns the locked R block (run.jl:131-179 semantics).
+    H: (m+1, m), columns [active0, m) zero.  Returns (V, H, lam_re,
+    lam_im, nconverged, prods, its, purges, qr_ok) — V/H already
+    truncated and sorted into the target order, eigenvalues of the
+    leading blocks in lam_re/lam_im.
     """
     m = H.shape[1]
     dtype = H.dtype
@@ -62,10 +66,11 @@ def fused_solve(op, V, H, nev, mindim, tol, restarts, key, which, maxiter_qr=Non
     nev = jnp.int32(nev)
     mindim = jnp.int32(mindim)
     restarts = jnp.int32(restarts)
+    active0 = jnp.int32(active0)
     tol = jnp.asarray(tol, dtype)
 
     # Initial expansion straight to maxdim (driver.py does the same).
-    V, H = expand_range_impl(op, V, H, 0, m, jax.random.fold_in(key, 0))
+    V, H = expand_range_impl(op, V, H, active0, m, jax.random.fold_in(key, 0))
 
     def body(state):
         V, H, active, prods, it, purges, done, qr_ok = state
@@ -165,8 +170,8 @@ def fused_solve(op, V, H, nev, mindim, tol, restarts, key, which, maxiter_qr=Non
     state0 = (
         V,
         H,
-        jnp.int32(0),
-        jnp.int32(m),
+        active0,
+        jnp.int32(m) - active0,
         jnp.int32(0),
         jnp.int32(0),
         restarts <= 0,  # restarts=0: no dense phase at all (host parity)

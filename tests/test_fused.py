@@ -117,21 +117,46 @@ def test_device_f32():
     assert np.allclose(np.sort(d.eigenvalues.real), exact, atol=1e-5)
 
 
-def test_device_workspace_coherent_for_host_warm_start():
-    """After a fused solve the workspace state supports a host-path warm
-    start continuation (checkpoint/resume parity)."""
-    rng = np.random.default_rng(7)
-    A = rng.standard_normal((100, 100))
-    d, h = partial_schur(A, nev=3, tol=1e-10, method="device")
-    assert h.converged
-    # Repackage: the fused path wrote ws internally but partial_schur
-    # doesn't expose it without workspace=; solve again with an explicit
-    # workspace through the host path to confirm the API contract.
+def test_device_warm_start():
+    """Warm start / resume through the fused path: compute 3 eigenvalues,
+    then continue from the locked decomposition for 5 (run.jl:131-179
+    semantics, ref: test/partial_schur.jl:122-138)."""
     from arnoldimethod_tpu import ArnoldiWorkspace
 
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((100, 100))
+
     ws = ArnoldiWorkspace(100, 20, dtype=jnp.float64)
-    with pytest.raises(ValueError, match="warm starts"):
-        partial_schur(A, workspace=ws, nev=3, method="device")
+    F, h1 = partial_schur(A, workspace=ws, nev=3, tol=1e-12, method="device")
+    assert h1.converged
+    _check(A, F, 1e-9)
+
+    F2, h2 = partial_schur(
+        A, workspace=ws, nev=5, start_from=h1.nconverged, tol=1e-8,
+        method="device",
+    )
+    assert h2.converged
+    assert h2.nconverged >= 5
+    _check(A, F2, 1e-6)
+    assert h2.mvproducts < h1.mvproducts + 100
+
+
+def test_device_warm_start_crosses_methods():
+    """A host-path decomposition resumes through the device path and
+    vice versa (the workspace is the portable checkpoint)."""
+    from arnoldimethod_tpu import ArnoldiWorkspace
+
+    rng = np.random.default_rng(9)
+    A = rng.standard_normal((100, 100))
+    ws = ArnoldiWorkspace(100, 20, dtype=jnp.float64)
+    F, h1 = partial_schur(A, workspace=ws, nev=3, tol=1e-10, method="host")
+    assert h1.converged
+    F2, h2 = partial_schur(
+        A, workspace=ws, nev=5, start_from=h1.nconverged, tol=1e-8,
+        method="device",
+    )
+    assert h2.converged and h2.nconverged >= 5
+    _check(A, F2, 1e-6)
 
 
 def test_device_rejects_complex():
