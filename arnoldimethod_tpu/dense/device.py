@@ -71,51 +71,85 @@ def givens_jax(f, g):
     return c, s, r
 
 
+# Each helper reads its 2-3 row/column slab with ONE dynamic_slice and
+# writes it back with ONE dynamic_update_slice: inside the sequential QR /
+# swap loops the wall-clock is per-op dispatch overhead, not bytes, so
+# halving the op count per rotation roughly halves the dense-phase time.
+
+
 def _lmul2(c, s, A, i, j0, j1):
     """A[i:i+2, j0:j1] = G @ A[i:i+2, j0:j1] (masked full rows)."""
     cols = jnp.arange(A.shape[1])
     mask = (cols >= j0) & (cols < j1)
-    a1 = A[i]
-    a2 = A[i + 1]
-    A = A.at[i].set(jnp.where(mask, c * a1 + s * a2, a1))
-    return A.at[i + 1].set(jnp.where(mask, -s * a1 + c * a2, a2))
+    i = jnp.asarray(i, jnp.int32)
+    z = jnp.int32(0)
+    blk = lax.dynamic_slice(A, (i, z), (2, A.shape[1]))
+    a1, a2 = blk[0], blk[1]
+    new = jnp.stack(
+        [
+            jnp.where(mask, c * a1 + s * a2, a1),
+            jnp.where(mask, -s * a1 + c * a2, a2),
+        ]
+    )
+    return lax.dynamic_update_slice(A, new, (i, z))
 
 
 def _rmul2(A, c, s, i, r0, r1):
     """A[r0:r1, i:i+2] = A[r0:r1, i:i+2] @ G^T (masked full columns)."""
     rows = jnp.arange(A.shape[0])
     mask = (rows >= r0) & (rows < r1)
-    a1 = A[:, i]
-    a2 = A[:, i + 1]
-    A = A.at[:, i].set(jnp.where(mask, a1 * c + a2 * s, a1))
-    return A.at[:, i + 1].set(jnp.where(mask, -a1 * s + a2 * c, a2))
+    i = jnp.asarray(i, jnp.int32)
+    z = jnp.int32(0)
+    blk = lax.dynamic_slice(A, (z, i), (A.shape[0], 2))
+    a1, a2 = blk[:, 0], blk[:, 1]
+    new = jnp.stack(
+        [
+            jnp.where(mask, a1 * c + a2 * s, a1),
+            jnp.where(mask, -a1 * s + a2 * c, a2),
+        ],
+        axis=1,
+    )
+    return lax.dynamic_update_slice(A, new, (z, i))
 
 
 def _lmul3(c1, s1, c2, s2, A, i, j0, j1):
     """3-row rotation G2@G1 on rows i..i+2 (G1 on i+1,i+2; G2 on i,i+1)."""
     cols = jnp.arange(A.shape[1])
     mask = (cols >= j0) & (cols < j1)
-    a1 = A[i]
-    a2 = A[i + 1]
-    a3 = A[i + 2]
+    i = jnp.asarray(i, jnp.int32)
+    z = jnp.int32(0)
+    blk = lax.dynamic_slice(A, (i, z), (3, A.shape[1]))
+    a1, a2, a3 = blk[0], blk[1], blk[2]
     b2 = c1 * a2 + s1 * a3
     b3 = -s1 * a2 + c1 * a3
-    A = A.at[i].set(jnp.where(mask, c2 * a1 + s2 * b2, a1))
-    A = A.at[i + 1].set(jnp.where(mask, -s2 * a1 + c2 * b2, a2))
-    return A.at[i + 2].set(jnp.where(mask, b3, a3))
+    new = jnp.stack(
+        [
+            jnp.where(mask, c2 * a1 + s2 * b2, a1),
+            jnp.where(mask, -s2 * a1 + c2 * b2, a2),
+            jnp.where(mask, b3, a3),
+        ]
+    )
+    return lax.dynamic_update_slice(A, new, (i, z))
 
 
 def _rmul3(A, c1, s1, c2, s2, i, r0, r1):
     rows = jnp.arange(A.shape[0])
     mask = (rows >= r0) & (rows < r1)
-    a1 = A[:, i]
-    a2 = A[:, i + 1]
-    a3 = A[:, i + 2]
+    i = jnp.asarray(i, jnp.int32)
+    z = jnp.int32(0)
+    blk = lax.dynamic_slice(A, (z, i), (A.shape[0], 3))
+    a1, a2, a3 = blk[:, 0], blk[:, 1], blk[:, 2]
     b2 = a2 * c1 + a3 * s1
     b3 = -a2 * s1 + a3 * c1
-    A = A.at[:, i].set(jnp.where(mask, a1 * c2 + b2 * s2, a1))
-    A = A.at[:, i + 1].set(jnp.where(mask, -a1 * s2 + b2 * c2, a2))
-    return A.at[:, i + 2].set(jnp.where(mask, b3, a3))
+    new = jnp.stack(
+        [
+            jnp.where(mask, a1 * c2 + b2 * s2, a1),
+            jnp.where(mask, -a1 * s2 + b2 * c2, a2),
+            jnp.where(mask, b3, a3),
+        ],
+        axis=1,
+    )
+    return lax.dynamic_update_slice(A, new, (z, i))
 
 
 # --- L2: Francis QR (real quasi-Schur) --------------------------------------

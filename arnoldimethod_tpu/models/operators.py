@@ -172,10 +172,12 @@ class Stencil5Operator(LinearOperator):
         n = self.grid[0] * self.grid[1]
         self.shape = (n, n)
         self.dtype = jnp.dtype(dtype)
-        # None = auto: the Pallas halo-DMA kernel on a single TPU chip
-        # (~5x the fused-XLA formulation), XLA elsewhere.  Sharded
-        # multi-chip runs use the XLA path (its shifts become halo
-        # collectives under GSPMD); pass use_pallas=False explicitly there.
+        # None = auto: the Pallas halo-DMA kernel on a single TPU chip,
+        # XLA elsewhere.  bench.py's `roofline` phase measures both
+        # formulations side by side (roofline_pallas_vs_xla) along with
+        # their fraction of memcpy bandwidth.  Sharded multi-chip runs use
+        # the XLA path (its shifts become halo collectives under GSPMD);
+        # pass use_pallas=False explicitly there.
         self.use_pallas = use_pallas
 
     @property
