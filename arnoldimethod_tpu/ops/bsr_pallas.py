@@ -34,8 +34,13 @@ def _kernel(bcols_ref, data_ref, x_ref, y_ref):
     def _():
         y_ref[...] = jnp.zeros_like(y_ref)
 
-    y_ref[0, :] += jnp.dot(
-        data_ref[0, 0], x_ref[0, :], preferred_element_type=y_ref.dtype
+    # x and y blocks are 1-D length-B vectors: Mosaic requires a block's
+    # minor dim to be lane-divisible (128) and its second-to-minor
+    # sublane-divisible (8); a (1, B) block of a (nbc, B) array violates
+    # the latter, while 1-D (B,) blocks of flat arrays satisfy it
+    # trivially (regression caught by bench.py's compiled-kernels tier).
+    y_ref[...] += jnp.dot(
+        data_ref[0, 0], x_ref[...], preferred_element_type=y_ref.dtype
     )
 
 
@@ -48,9 +53,6 @@ def bsr_matvec(block_cols, block_data, x, interpret=False):
     x: (n,) with n = nbc * B (nbc >= max block col + 1).
     """
     nbr, KB, B, _ = block_data.shape
-    n = x.shape[0]
-    nbc = n // B
-    xb = x.reshape(nbc, B)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -59,15 +61,15 @@ def bsr_matvec(block_cols, block_data, x, interpret=False):
             pl.BlockSpec(
                 (1, 1, B, B), lambda i, k, bcols: (i, k, 0, 0)
             ),
-            pl.BlockSpec((1, B), lambda i, k, bcols: (bcols[i, k], 0)),
+            pl.BlockSpec((B,), lambda i, k, bcols: (bcols[i, k],)),
         ],
-        out_specs=pl.BlockSpec((1, B), lambda i, k, bcols: (i, 0)),
+        out_specs=pl.BlockSpec((B,), lambda i, k, bcols: (i,)),
     )
 
-    yb = pl.pallas_call(
+    y = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nbr, B), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((nbr * B,), x.dtype),
         interpret=interpret,
-    )(block_cols, block_data, xb)
-    return yb.reshape(nbr * B)
+    )(block_cols, block_data, x)
+    return y

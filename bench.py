@@ -122,6 +122,10 @@ def _stencil_op(grid, use_pallas=None):
 
 
 def _spmv_time(op, iters, reps=3):
+    """Per-iteration time by TWO-POINT measurement: the dispatch + fence
+    round trip over the remote tunnel is ~25 ms of fixed latency, which
+    would swamp any loop shorter than ~1 s — so time the iteration loop at
+    N/5 and N iterations and divide the difference.  min over reps."""
     jax = _jax()
     import jax.numpy as jnp
 
@@ -132,14 +136,18 @@ def _spmv_time(op, iters, reps=3):
     def run(y, steps):
         return jax.lax.fori_loop(0, steps, lambda i, y: op.matvec(y), y)
 
-    _fence(run(x, 2))  # warm-up / compile; first rep absorbs stragglers
-    times = []
+    n1 = max(1, iters // 5)
+    _fence(run(x, 2))  # warm-up / compile; absorbs stragglers
+    diffs = []
     for r in range(reps):
+        xr = x * (1.0 + 0.001 * r)
         t0 = time.perf_counter()
-        y = run(x * (1.0 + 0.001 * r), iters)
-        _fence(y)
-        times.append((time.perf_counter() - t0) / iters)
-    return min(times[1:]) if len(times) > 1 else times[0]
+        _fence(run(xr, n1))
+        t1 = time.perf_counter()
+        _fence(run(xr, iters))
+        t2 = time.perf_counter()
+        diffs.append(((t2 - t1) - (t1 - t0)) / (iters - n1))
+    return max(min(diffs), 1e-9)
 
 
 def spmv(grid, iters, key=None):
@@ -161,22 +169,25 @@ def roofline():
     jax = _jax()
     import jax.numpy as jnp
 
-    # Memcpy bandwidth: y = x.copy() on a 256 MiB array -> 512 MiB traffic.
+    # Memcpy bandwidth: K chained scale passes over a 256 MiB array
+    # (read + write each), two-point timed to cancel the tunnel latency.
     n = 64 * 1024 * 1024  # 256 MiB f32
     x = jnp.ones(n, dtype=jnp.float32)
 
     @jax.jit
-    def copy(x):
-        return x * 1.0000001  # multiply forces a real read+write pass
+    def scale_loop(y, steps):
+        return jax.lax.fori_loop(0, steps, lambda i, y: y * 1.0000001, y)
 
-    _fence(copy(x))
-    times = []
-    for _ in range(5):
+    _fence(scale_loop(x, 2))
+    diffs = []
+    for _ in range(3):
         t0 = time.perf_counter()
-        y = copy(x)
-        _fence(y)
-        times.append(time.perf_counter() - t0)
-    dt = min(times[1:])
+        _fence(scale_loop(x, 10))
+        t1 = time.perf_counter()
+        _fence(scale_loop(x, 110))
+        t2 = time.perf_counter()
+        diffs.append(((t2 - t1) - (t1 - t0)) / 100)
+    dt = min(diffs)
     memcpy_gbs = 2 * 4 * n / dt / 1e9
 
     out = {"roofline_memcpy_gbs": round(memcpy_gbs, 1)}
@@ -389,7 +400,7 @@ def spmv_csr():
 PHASES = {
     "readme": readme_parity,
     "spmv1m": lambda: spmv(1024, 1000),
-    "spmv16m": lambda: spmv(4096, 100, key="spmv_16m"),
+    "spmv16m": lambda: spmv(4096, 300, key="spmv_16m"),
     "roofline": roofline,
     "e2e1m": e2e_1m,
     "conv": conv_diffusion,
