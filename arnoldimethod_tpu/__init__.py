@@ -20,7 +20,13 @@ ShiftInvertDenseOperator) and model problems under .models.
 from .driver import History, PartialSchur, partial_schur
 from .eigen import partial_eigen
 from .targets import LI, LM, LR, SI, SR, Target
-from .transforms import BInnerProductOperator, GeneralizedShiftInvertOperator
+from .transforms import (
+    BInnerProductOperator,
+    ChebyshevFilterOperator,
+    GeneralizedShiftInvertOperator,
+    power_bound,
+    rayleigh_ritz,
+)
 from .workspace import ArnoldiWorkspace
 from .models.operators import (
     CsrOperator,
@@ -63,6 +69,9 @@ __all__ = [
     "TridiagonalShiftInvertOperator",
     "GeneralizedShiftInvertOperator",
     "BInnerProductOperator",
+    "ChebyshevFilterOperator",
+    "power_bound",
+    "rayleigh_ritz",
     "as_operator",
     "csr_to_ell",
 ]

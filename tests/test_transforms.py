@@ -65,3 +65,54 @@ def test_b_inner_product_symmetric_gives_eigen():
     lams = np.diag(R)
     resid = np.linalg.norm(A @ Q - B @ Q @ np.diag(lams))
     assert resid < 1e-7 * np.linalg.norm(A)
+
+
+def test_chebyshev_filter_smallest_eigenvalues():
+    """Chebyshev-filtered LM solve targets A's smallest eigenvalues with
+    far fewer restarts than plain :SR; rayleigh_ritz recovers A's spectrum
+    to near machine precision (BASELINE.json config-2 acceleration)."""
+    from arnoldimethod_tpu import (
+        ChebyshevFilterOperator,
+        partial_schur,
+        power_bound,
+        rayleigh_ritz,
+    )
+    from arnoldimethod_tpu.models.problems import laplacian_2d
+
+    nx = 32
+    op = laplacian_2d(nx, nx)
+    lam1 = 2 - 2 * np.cos(np.pi * np.arange(1, nx + 1) / (nx + 1))
+    exact = np.sort(np.add.outer(lam1, lam1).ravel())
+
+    b = power_bound(op, iters=30)
+    assert b >= exact[-1]  # a true upper bound
+    fop = ChebyshevFilterOperator(op, exact[5] * 3, b, 30)
+    d, h = partial_schur(fop, nev=5, which="LM", tol=1e-10, method="host")
+    assert h.converged
+    assert h.restarts <= 5  # plain :SR needs ~3x more
+
+    w, X, res = rayleigh_ritz(op, d.Q)
+    assert np.allclose(w[:5], exact[:5], atol=1e-10)
+    assert res[:5].max() < 1e-8
+
+
+def test_chebyshev_filter_matvec_is_polynomial():
+    """p(A) x equals the explicit Chebyshev polynomial of the dense matrix."""
+    from arnoldimethod_tpu import ChebyshevFilterOperator
+    from arnoldimethod_tpu.models.operators import DenseOperator
+
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((12, 12))
+    A = (A + A.T) / 2
+    a_int, b_int, deg = 1.0, 3.0, 7
+    op = ChebyshevFilterOperator(DenseOperator(jnp.asarray(A)), a_int, b_int, deg)
+    x = rng.standard_normal(12)
+
+    c, e = (a_int + b_int) / 2, (b_int - a_int) / 2
+    L = (A - c * np.eye(12)) / e
+    t0, t1 = np.eye(12), L
+    for _ in range(deg - 1):
+        t0, t1 = t1, 2 * L @ t1 - t0
+    want = t1 @ x
+    got = np.asarray(op.matvec(jnp.asarray(x)))
+    assert np.allclose(got, want, atol=1e-9)
