@@ -697,9 +697,39 @@ class TridiagonalShiftInvertOperator(LinearOperator):
 
 
 def as_operator(A, n=None, dtype=None):
-    """Coerce A (operator, 2-D array, or callable) to a LinearOperator."""
+    """Coerce A (operator, 2-D array, scipy.sparse matrix, or callable) to
+    a LinearOperator.
+
+    scipy.sparse inputs become `CsrOperator`s (the reference's sparse
+    examples all start from SparseArrays matrices — test/schur_to_eigen.jl:
+    7-12 — so this is the drop-in path for users arriving with scipy
+    matrices); integer/bool sparse data is promoted to float64 like the
+    dense branch (vtype promotion, run.jl:9-12).
+    """
     if isinstance(A, LinearOperator):
         return A
+    # scipy.sparse duck-typing: anything exposing .tocsr() with CSR triple
+    # attributes.  scipy is imported only by the caller, never here.
+    if hasattr(A, "tocsr") and hasattr(A, "shape"):
+        if A.shape[0] != A.shape[1]:
+            raise ValueError(
+                f"matrix is not square: dimensions are {tuple(A.shape)}"
+            )
+        csr = A.tocsr()
+        data = np.asarray(csr.data)
+        if np.issubdtype(data.dtype, np.integer) or np.issubdtype(
+            data.dtype, np.bool_
+        ):
+            data = data.astype(np.float64)
+        if np.issubdtype(data.dtype, np.complexfloating):
+            default = jax.devices()[0].platform
+            if default not in ("cpu",):
+                raise ValueError(
+                    "complex sparse matrices are only supported on CPU "
+                    "backends (TPU has no complex dtypes); see docs/"
+                    "operators.md"
+                )
+        return CsrOperator(csr.indptr, csr.indices, data, csr.shape)
     if callable(A) and not hasattr(A, "ndim"):
         if n is None or dtype is None:
             raise ValueError(

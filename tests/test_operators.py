@@ -156,3 +156,43 @@ def test_csr_operator_matvec_and_solve():
     lam = np.sort(np.asarray(decomp.eigenvalues.real))
     expect = np.sort(np.linalg.eigvals(A).real)[-4:]
     np.testing.assert_allclose(lam, expect, rtol=1e-6)
+
+
+def test_as_operator_scipy_sparse():
+    """scipy.sparse matrices coerce straight to CsrOperator — the drop-in
+    path for the reference's sprand examples (test/schur_to_eigen.jl:7-12)."""
+    import scipy.sparse as sp
+
+    from arnoldimethod_tpu import CsrOperator, partial_eigen
+
+    rng = np.random.default_rng(5)
+    n = 100
+    # spdiagm(0 => 1:100) + 0.1*sprand(100, 100, 5/100), like the reference.
+    S = sp.diags(np.arange(1, n + 1.0)).tocsr() + 0.1 * sp.random(
+        n, n, density=0.05, random_state=rng, format="csr"
+    )
+    op = as_operator(S)
+    assert isinstance(op, CsrOperator)
+    assert op.shape == (n, n)
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(jnp.asarray(x))), S @ x, rtol=1e-12
+    )
+
+    # partial_schur accepts the scipy matrix directly.
+    decomp, history = partial_schur(S, nev=6, which="LM", tol=1e-8)
+    assert history.converged
+    vals, vecs = partial_eigen(decomp)
+    A = S.toarray()
+    for k in range(len(vals)):
+        r = np.linalg.norm(A @ np.asarray(vecs)[:, k] - vals[k] * np.asarray(vecs)[:, k])
+        assert r < 1e-6 * abs(vals[k])
+
+    # Integer sparse data is vtype-promoted (run.jl:9-12).
+    Si = sp.csr_matrix(np.diag(np.arange(1, 8)))
+    opi = as_operator(Si)
+    assert np.dtype(opi.dtype) == np.float64
+
+    # Non-square raises.
+    with pytest.raises(ValueError, match="not square"):
+        as_operator(sp.random(6, 7, density=0.5, format="csr"))
