@@ -30,6 +30,7 @@ from .transforms import (
 from .workspace import ArnoldiWorkspace
 from .models.operators import (
     CsrOperator,
+    SellOperator,
     DenseOperator,
     DiaOperator,
     EllOperator,
@@ -63,6 +64,7 @@ __all__ = [
     "dia_from_diagonals",
     "EllOperator",
     "CsrOperator",
+    "SellOperator",
     "ShardedCsrOperator",
     "FunctionOperator",
     "ShiftInvertDenseOperator",

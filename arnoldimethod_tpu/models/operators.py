@@ -22,6 +22,8 @@ __all__ = [
     "DenseOperator",
     "EllOperator",
     "CsrOperator",
+    "SellOperator",
+    "sell_from_csr",
     "ShardedCsrOperator",
     "FunctionOperator",
     "ShiftInvertDenseOperator",
@@ -329,6 +331,94 @@ def dense_to_bsr(A, block_size=128, use_pallas=None):
 
 
 @register_pytree_node_class
+class SellOperator(LinearOperator):
+    """Bucketed / sorted ELL ("SELL"): rows grouped by rounded-up
+    power-of-two nonzero count, each bucket stored as an exact little ELL
+    block.  The layout for *irregular* (power-law) row-length matrices on
+    one device:
+
+      * padding is bounded by 2x nnz per bucket (vs O(n * K_max) for
+        plain padded ELL — a zipf row distribution with K_max=512 would
+        blow plain ELL up ~200x);
+      * the reduction over each bucket is a dense sum along the K axis —
+        no scatter/segment_sum, which XLA serializes on TPU;
+      * every shape is static: <= log2(K_max)+1 buckets, one fused kernel
+        per bucket plus one inverse-permutation gather on the output.
+
+    Output rows come back in original order via `inv_perm`.  Built from
+    CSR with `CsrOperator.to_sell()` / `sell_from_csr`.
+    """
+
+    def __init__(self, buckets, inv_perm, shape, nnz_true):
+        # buckets: tuple of (data (r_b, K_b), cols (r_b, K_b)) pairs.
+        self.buckets = tuple(buckets)
+        self.inv_perm = inv_perm
+        self.shape = tuple(shape)
+        self.dtype = self.buckets[0][0].dtype
+        self._nnz_true = int(nnz_true)
+
+    @property
+    def nnz(self):
+        return self._nnz_true
+
+    @property
+    def nnz_stored(self):
+        return int(sum(d.size for d, _ in self.buckets))
+
+    def matvec(self, x):
+        parts = [
+            jnp.sum(data * x[cols], axis=1) for data, cols in self.buckets
+        ]
+        return jnp.concatenate(parts)[self.inv_perm]
+
+    def tree_flatten(self):
+        return (self.buckets, self.inv_perm), (self.shape, self._nnz_true)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.buckets, obj.inv_perm = children
+        obj.shape, obj._nnz_true = aux
+        obj.buckets = tuple(tuple(b) for b in obj.buckets)
+        obj.dtype = getattr(obj.buckets[0][0], "dtype", None)
+        return obj
+
+
+def sell_from_csr(indptr, indices, data, shape, dtype=None):
+    """Build a SellOperator from host CSR arrays (one host pass)."""
+    indptr = np.asarray(indptr)
+    indices = np.asarray(indices)
+    data = np.asarray(data, dtype=dtype or data.dtype)
+    n = shape[0]
+    row_nnz = np.diff(indptr).astype(np.int64)
+    # Bucket id: ceil-pow2 of the row length (empty rows -> width-1 bucket
+    # of zero data, keeping every row represented exactly once).
+    widths = np.maximum(row_nnz, 1)
+    bucket_k = (1 << np.ceil(np.log2(widths)).astype(np.int64))
+    order = np.argsort(bucket_k, kind="stable")
+    inv_perm = np.empty(n, dtype=np.int64)
+    inv_perm[order] = np.arange(n)
+
+    buckets = []
+    sorted_k = bucket_k[order]
+    start = 0
+    while start < n:
+        K = int(sorted_k[start])
+        stop = int(np.searchsorted(sorted_k, K, side="right"))
+        rows = order[start:stop]
+        slot = np.arange(K, dtype=np.int64)[None, :]
+        valid = slot < row_nnz[rows][:, None]
+        idx = np.where(valid, indptr[rows][:, None] + slot, 0)
+        bdata = np.where(valid, data[idx], 0).astype(data.dtype)
+        bcols = np.where(valid, indices[idx], 0).astype(np.int32)
+        buckets.append((jnp.asarray(bdata), jnp.asarray(bcols)))
+        start = stop
+    return SellOperator(
+        buckets, jnp.asarray(inv_perm, dtype=jnp.int32), shape, data.size
+    )
+
+
+@register_pytree_node_class
 class CsrOperator(LinearOperator):
     """Sparse matrix in CSR, kept in CSR (ref: the SpMV surface behind the
     reference's `mul!` is SparseArrays CSC/CSR — SURVEY.md §2.3).
@@ -368,6 +458,14 @@ class CsrOperator(LinearOperator):
     def to_ell(self):
         """Padded-ELL version of this matrix (the distributable layout)."""
         return csr_to_ell(
+            np.asarray(self.indptr), np.asarray(self.indices),
+            np.asarray(self.data), self.shape,
+        )
+
+    def to_sell(self):
+        """Bucketed-ELL version (the fast single-device layout for
+        power-law row lengths — see SellOperator)."""
+        return sell_from_csr(
             np.asarray(self.indptr), np.asarray(self.indices),
             np.asarray(self.data), self.shape,
         )

@@ -2,10 +2,21 @@
 
 The general-sparse path on TPU: the matrix is stored as dense (B, B)
 blocks, each block-row holding up to KB blocks (padded, block-level ELL).
-The kernel runs a (block_rows, KB) grid where the *block column index is
-scalar-prefetched* — Pallas fetches the needed x block by a data-dependent
-index before the body runs, so the gather disappears into the pipeline's
-DMAs and the arithmetic is dense (B, B) x (B,) MXU work.
+The kernel runs a (block_rows, KB-chunks) grid; the dense block data is
+the only streamed operand (it dominates HBM traffic), pipelined through
+VMEM by its BlockSpec, while x and y live *entirely in VMEM* as 2-D
+(nblocks, B) arrays — x rows are fetched with dynamic sublane indexing
+driven by the scalar-prefetched block-column indices, y rows accumulate
+in place across KB-chunks.  Each (B, B) x (B,) product is one MXU matvec.
+
+Why x/y are full-VMEM 2-D operands rather than blocked 1-D ones: Mosaic
+requires a blocked operand's second-to-minor block dim to be a multiple
+of 8 (so (1, B) blocks of a (nbc, B) array are rejected), and XLA gives
+1-D f32 arrays tiled layouts (T(512)) that Mosaic's (B,) = T(128) block
+assumption fails to match on real hardware — both dead ends are avoided
+by keeping the vectors unblocked.  Cost: n is bounded by VMEM (~12 MB of
+x + y), i.e. n <= ~1.5M rows; beyond that use the einsum fallback or
+shard rows first.
 
 Padding blocks point at block column 0 with zero data: they contribute
 nothing and keep the grid static.
@@ -21,27 +32,40 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["bsr_matvec"]
 
+# KB is processed in chunks of KC blocks so the streamed data block stays
+# ~<= 1 MB per grid step (KC * B * B * 4 bytes at B=128 -> 64 KB * KC).
+_KC = 8
 
-def _kernel(bcols_ref, data_ref, x_ref, y_ref):
-    k = pl.program_id(1)
 
-    @pl.when(k == 0)
-    def _():
-        y_ref[...] = jnp.zeros_like(y_ref)
+def _kernel(bcols_ref, data_ref, x_ref, y_ref, *, kc_total):
+    i = pl.program_id(0)
+    kc = pl.program_id(1)
+    KC, B = data_ref.shape[1], data_ref.shape[2]
 
-    # x and y blocks are 1-D length-B vectors: Mosaic requires a block's
-    # minor dim to be lane-divisible (128) and its second-to-minor
-    # sublane-divisible (8); a (1, B) block of a (nbc, B) array violates
-    # the latter, while 1-D (B,) blocks of flat arrays satisfy it
-    # trivially (regression caught by bench.py's compiled-kernels tier).
-    y_ref[...] += jnp.dot(
-        data_ref[0, 0], x_ref[...], preferred_element_type=y_ref.dtype
-    )
+    @pl.when(kc == 0)
+    def _zero():
+        y_ref[pl.ds(i, 1), :] = jnp.zeros((1, B), y_ref.dtype)
+
+    # Gather the KC addressed x rows into a (KC*B, 1) operand, then ONE
+    # MXU contraction sum_k D_k x_{c_k} = [D_0 .. D_{KC-1}] @ xcat.
+    # (A fori_loop of per-block dots would need a loop-carried matmul
+    # accumulator, which Mosaic rejects; dynamic row accesses go through
+    # pl.ds — plain `ref[idx, :]` only lowers for offsets inside the
+    # first (8, 128) tile.)
+    xcat = jnp.concatenate(
+        [x_ref[pl.ds(bcols_ref[i, kc * KC + k], 1), :] for k in range(KC)],
+        axis=0,
+    ).reshape(KC * B, 1)
+    dflat = data_ref[0].transpose(1, 0, 2).reshape(B, KC * B)
+    y_ref[pl.ds(i, 1), :] += jnp.dot(
+        dflat, xcat, preferred_element_type=y_ref.dtype
+    ).reshape(1, B)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -53,23 +77,38 @@ def bsr_matvec(block_cols, block_data, x, interpret=False):
     x: (n,) with n = nbc * B (nbc >= max block col + 1).
     """
     nbr, KB, B, _ = block_data.shape
+    nbc = x.shape[0] // B
+
+    # Pad KB up to a KC multiple (index map stays trivial), and the VMEM
+    # vectors' sublane counts up to 8 (Mosaic (8, 128) tiling).
+    KC = min(_KC, KB)
+    kc_total = -(-KB // KC)
+    if kc_total * KC != KB:
+        pad = kc_total * KC - KB
+        block_cols = jnp.pad(block_cols, ((0, 0), (0, pad)))
+        block_data = jnp.pad(block_data, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    x2 = x.reshape(nbc, B)
+    nbc_pad = -(-nbc // 8) * 8
+    if nbc_pad != nbc:
+        x2 = jnp.pad(x2, ((0, nbc_pad - nbc), (0, 0)))
+    nbr_pad = -(-nbr // 8) * 8
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nbr, KB),
+        grid=(nbr, kc_total),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, B, B), lambda i, k, bcols: (i, k, 0, 0)
+                (1, KC, B, B), lambda i, kc, bcols: (i, kc, 0, 0)
             ),
-            pl.BlockSpec((B,), lambda i, k, bcols: (bcols[i, k],)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x2, resident
         ],
-        out_specs=pl.BlockSpec((B,), lambda i, k, bcols: (i,)),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # y2, resident
     )
 
-    y = pl.pallas_call(
-        _kernel,
+    y2 = pl.pallas_call(
+        functools.partial(_kernel, kc_total=kc_total),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nbr * B,), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((nbr_pad, B), x.dtype),
         interpret=interpret,
-    )(block_cols, block_data, x)
-    return y
+    )(block_cols, block_data, x2)
+    return y2[:nbr].reshape(nbr * B)

@@ -36,6 +36,7 @@ from ..models.operators import (
 
 __all__ = [
     "make_mesh",
+    "make_pod_mesh",
     "basis_sharding",
     "vector_sharding",
     "replicated_sharding",

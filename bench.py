@@ -15,6 +15,7 @@ Prints ONE JSON line:
     e2e1m_*       config 2: 1M-row 2-D Laplacian, nev=20 smallest
     conv_*        config 3: convection-diffusion :LM with complex pairs
     shiftinv_*    config 4: n=6000 tridiagonal shift-invert solve
+    bsr_*         BSR Pallas kernel nnz/s + effective GB/s vs einsum
     kernels_*     compiled (non-interpret) Pallas vs XLA equality on-device
 
 The TPU sits behind a remote compile service whose latency is bimodal
@@ -121,11 +122,63 @@ def _stencil_op(grid, use_pallas=None):
     )
 
 
-def _spmv_time(op, iters, reps=3):
-    """Per-iteration time by TWO-POINT measurement: the dispatch + fence
-    round trip over the remote tunnel is ~25 ms of fixed latency, which
-    would swamp any loop shorter than ~1 s — so time the iteration loop at
-    N/5 and N iterations and divide the difference.  min over reps."""
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def _loop_time(run, x, reps=3, target_s=2.0, max_iters=4_000_000):
+    """Per-iteration time of `_fence(run(x, steps))` by TWO-POINT
+    measurement: the dispatch + fence round trip over the remote tunnel is
+    ~25 ms of *jittery* latency, so (a) the loop length is auto-scaled
+    until the measured span is ~`target_s` (long enough that the jitter is
+    noise), then (b) the N/5-vs-N difference cancels the fixed part.
+    min over reps; non-positive differences (pure jitter) are discarded."""
+    _fence(run(x, 2))  # warm-up / compile; absorbs stragglers
+
+    # Latency estimate (min of 3 — a single sample can be a multi-second
+    # straggler on this tunnel), then a geometric ramp whose *successive
+    # differences* give a latency-free rate estimate.
+    lat = min(
+        _timed(lambda: _fence(run(x, 1))) for _ in range(3)
+    )
+    n_prev, span_prev = 1, lat
+    n = 8
+    while True:
+        t0 = time.perf_counter()
+        _fence(run(x, n))
+        span = time.perf_counter() - t0
+        if span - lat >= 0.3 or n >= max_iters:
+            break
+        n_prev, span_prev = n, span
+        n *= 4
+    est = (span - span_prev) / (n - n_prev)
+    if est <= 0:  # jitter exceeded the span: fall back to an upper bound
+        est = span / n
+    N = min(max(int(target_s / est), 2 * n), max_iters)
+    n1 = max(1, N // 5)
+
+    diffs = []
+    for r in range(reps):
+        xr = x * (1.0 + 0.001 * r)
+        t0 = time.perf_counter()
+        _fence(run(xr, n1))
+        t1 = time.perf_counter()
+        _fence(run(xr, N))
+        t2 = time.perf_counter()
+        diffs.append(((t2 - t1) - (t1 - t0)) / (N - n1))
+    good = [d for d in diffs if d > 0]
+    return max(min(good) if good else est, 1e-9)
+
+
+def _spmv_time(op, iters=None, reps=3):
+    """Per-iteration matvec time; `iters` is accepted for compatibility but
+    the loop length is auto-scaled (see _loop_time).
+
+    The operator is passed to jit as a pytree ARGUMENT — closing over it
+    would embed its arrays as XLA constants (a 256 MB BSR operand then
+    exceeds the remote-compile request limit, and compiles crawl)."""
     jax = _jax()
     import jax.numpy as jnp
 
@@ -133,21 +186,10 @@ def _spmv_time(op, iters, reps=3):
     x = jnp.ones(n, dtype=jnp.float32)
 
     @jax.jit
-    def run(y, steps):
+    def mv_loop(op, y, steps):
         return jax.lax.fori_loop(0, steps, lambda i, y: op.matvec(y), y)
 
-    n1 = max(1, iters // 5)
-    _fence(run(x, 2))  # warm-up / compile; absorbs stragglers
-    diffs = []
-    for r in range(reps):
-        xr = x * (1.0 + 0.001 * r)
-        t0 = time.perf_counter()
-        _fence(run(xr, n1))
-        t1 = time.perf_counter()
-        _fence(run(xr, iters))
-        t2 = time.perf_counter()
-        diffs.append(((t2 - t1) - (t1 - t0)) / (iters - n1))
-    return max(min(diffs), 1e-9)
+    return _loop_time(lambda y, steps: mv_loop(op, y, steps), x, reps=reps)
 
 
 def spmv(grid, iters, key=None):
@@ -163,14 +205,23 @@ def spmv(grid, iters, key=None):
 
 
 def roofline():
-    """HBM memcpy roofline + the XLA (non-Pallas) stencil on the same 1M-row
-    grid, so the Pallas number has context: the 5-point stencil moves
-    ~8 B/row (x in + y out, f32), so nnz/s * 1.6 B = effective GB/s."""
+    """HBM memcpy roofline + XLA-vs-Pallas stencil at two sizes.
+
+    The 5-point stencil moves ~8 B/row (x in + y out, f32), so
+    rows/s * 8 B = effective GB/s.  Two regimes:
+
+      * 1M rows (4 MB vectors): the iterated vector FITS IN VMEM, and XLA
+        keeps the fori_loop carry on-chip — both formulations exceed the
+        HBM memcpy rate.  Reported for the on-chip story; a "roofline
+        fraction" against HBM is meaningless here (it comes out > 1).
+      * 16M rows (64 MB vectors): HBM-resident.  `spmv_roofline_frac` is
+        computed HERE — this is the honest speed-of-light comparison.
+    """
     jax = _jax()
     import jax.numpy as jnp
 
-    # Memcpy bandwidth: K chained scale passes over a 256 MiB array
-    # (read + write each), two-point timed to cancel the tunnel latency.
+    # Memcpy bandwidth: chained scale passes over a 256 MiB array
+    # (read + write each), auto-scaled two-point timing (_loop_time).
     n = 64 * 1024 * 1024  # 256 MiB f32
     x = jnp.ones(n, dtype=jnp.float32)
 
@@ -178,35 +229,34 @@ def roofline():
     def scale_loop(y, steps):
         return jax.lax.fori_loop(0, steps, lambda i, y: y * 1.0000001, y)
 
-    _fence(scale_loop(x, 2))
-    diffs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _fence(scale_loop(x, 10))
-        t1 = time.perf_counter()
-        _fence(scale_loop(x, 110))
-        t2 = time.perf_counter()
-        diffs.append(((t2 - t1) - (t1 - t0)) / 100)
-    dt = min(diffs)
+    dt = _loop_time(scale_loop, x)
     memcpy_gbs = 2 * 4 * n / dt / 1e9
 
     out = {"roofline_memcpy_gbs": round(memcpy_gbs, 1)}
 
-    # XLA formulation of the same stencil (no Pallas).
-    op_xla = _stencil_op(1024, use_pallas=False)
-    dt_xla = _spmv_time(op_xla, 500)
-    out["roofline_xla_gnnz_per_s"] = round(op_xla.nnz / dt_xla / 1e9, 3)
-
-    # Pallas formulation + roofline fraction.
-    op_pal = _stencil_op(1024, use_pallas=True)
-    dt_pal = _spmv_time(op_pal, 500)
-    pal_gnnz = op_pal.nnz / dt_pal / 1e9
-    n_rows = op_pal.shape[0]
-    eff_gbs = 2 * 4 * n_rows / dt_pal / 1e9  # x read + y write
-    out["roofline_pallas_gnnz_per_s"] = round(pal_gnnz, 3)
-    out["roofline_pallas_eff_gbs"] = round(eff_gbs, 1)
-    out["spmv_roofline_frac"] = round(eff_gbs / memcpy_gbs, 3)
-    out["roofline_pallas_vs_xla"] = round(dt_xla / dt_pal, 2)
+    for grid, tag in ((1024, "1m"), (4096, "16m")):
+        op_xla = _stencil_op(grid, use_pallas=False)
+        dt_xla = _spmv_time(op_xla)
+        op_pal = _stencil_op(grid, use_pallas=True)
+        dt_pal = _spmv_time(op_pal)
+        n_rows = op_pal.shape[0]
+        out[f"roofline_xla_{tag}_gnnz_per_s"] = round(
+            op_xla.nnz / dt_xla / 1e9, 3
+        )
+        out[f"roofline_pallas_{tag}_gnnz_per_s"] = round(
+            op_pal.nnz / dt_pal / 1e9, 3
+        )
+        out[f"roofline_pallas_{tag}_eff_gbs"] = round(
+            2 * 4 * n_rows / dt_pal / 1e9, 1
+        )
+        out[f"roofline_pallas_vs_xla_{tag}"] = round(dt_xla / dt_pal, 2)
+    # The honest speed-of-light fraction: HBM-resident (16M rows), best
+    # formulation vs the measured memcpy rate.
+    best_gbs = max(
+        out["roofline_pallas_16m_eff_gbs"],
+        out["roofline_xla_16m_gnnz_per_s"] / 5 * 8,
+    )
+    out["spmv_roofline_frac"] = round(best_gbs / memcpy_gbs, 3)
     return out
 
 
@@ -233,16 +283,32 @@ def e2e_1m():
     np.asarray(decomp.Q[:, :1])
     wall = time.perf_counter() - t0
 
+    # Warm run: all programs compiled/cache-loaded; steady-state wall.
+    t0 = time.perf_counter()
+    decomp2, history2 = partial_schur(
+        op, nev=20, which="SR", tol=1e-6, mindim=40, maxdim=80, restarts=400,
+        method="host",
+    )
+    np.asarray(decomp2.Q[:, :1])
+    warm_wall = time.perf_counter() - t0
+    history2_mv = history2.mvproducts
+    del decomp2
+
     # Residual via device matvecs (no dense reconstruction at n=1M).
+    # The XLA stencil formulation is used because the Pallas kernel's
+    # ANY-memory-space BlockSpec cannot be vmap-batched; same matrix.
+    op_r = _stencil_op(1024, use_pallas=False)
     Q = decomp.Q
     import jax.numpy as jnp
 
-    AQ = jax.jit(jax.vmap(op.matvec, in_axes=1, out_axes=1))(Q)
+    AQ = jax.jit(jax.vmap(op_r.matvec, in_axes=1, out_axes=1))(Q)
     R = jnp.asarray(np.asarray(decomp.R), dtype=jnp.float32)
     resid = float(jnp.linalg.norm(AQ - Q @ R))
     lam_min = 0.130 * (8 - 4 * np.cos(np.pi / 1025) - 4 * np.cos(np.pi / 1025))
     return {
         "e2e1m_wall_s": round(wall, 2),
+        "e2e1m_wall_warm_s": round(warm_wall, 2),
+        "e2e1m_warm_matvecs": history2_mv,
         "e2e1m_matvecs": history.mvproducts,
         "e2e1m_restarts": history.restarts,
         "e2e1m_converged": bool(history.converged),
@@ -290,10 +356,19 @@ def e2e_1m_cheb():
     w, X, res = rayleigh_ritz(op, decomp.Q)
     wall = time.perf_counter() - t0
 
+    # Warm solve: all programs compiled — the steady-state wall-clock
+    # (compare e2e1m_wall_s: the filter collapses hundreds of restarts
+    # into a handful of giant streaming dispatches).
+    t0 = time.perf_counter()
+    decomp2, history = partial_schur(fop, nev=20, which="LM", tol=1e-7, method="host")
+    w, X, res = rayleigh_ritz(op, decomp2.Q)
+    warm_wall = time.perf_counter() - t0
+
     k = min(20, len(w))
     err = float(np.max(np.abs(np.sort(w[:k]) - exact[:k])))
     return {
         "e2e1m_cheb_wall_s": round(wall, 2),
+        "e2e1m_cheb_wall_warm_s": round(warm_wall, 2),
         "e2e1m_cheb_restarts": history.restarts,
         "e2e1m_cheb_filtered_matvecs": history.mvproducts,
         "e2e1m_cheb_A_matvecs": history.mvproducts * deg,
@@ -305,22 +380,29 @@ def e2e_1m_cheb():
 
 def conv_diffusion():
     """Config 3 (BASELINE.json): nonsymmetric convection-diffusion, :LM,
-    exercising 2x2-block real Schur + reordering at scale.  peclet is set
-    past the oscillatory threshold (beta > 1) so the spectrum genuinely
-    has conjugate pairs."""
+    exercising 2x2-block real Schur + reordering.  peclet is set past the
+    oscillatory threshold (beta > 1) so the spectrum genuinely has
+    conjugate pairs.
+
+    Grid size is nx=64: the LM eigenvalues of this operator cluster with
+    relative gaps O((pi*h)^2), and for nx >= 128 (gap ~1e-4) float32
+    Krylov-Schur residuals plateau ~1e-3 — a measured single-precision
+    stagnation limit, not a budget limit (float64 on CPU converges nx=128
+    in 69 restarts; see docs/precision.md 'cluster resolution')."""
     _jax()
     import numpy as np
 
     from arnoldimethod_tpu import partial_schur
     from arnoldimethod_tpu.models.problems import convection_diffusion_2d
 
-    nx = 512  # n = 262144
+    nx = 64  # n = 4096; see the f32 cluster-resolution note above
     op = convection_diffusion_2d(
         nx, peclet=4.0 * (nx + 1), dtype=np.float32, fmt="stencil"
     )
     t0 = time.perf_counter()
     decomp, history = partial_schur(
-        op, nev=10, which="LM", tol=1e-6, mindim=20, maxdim=40, method="host"
+        op, nev=10, which="LM", tol=1e-6, mindim=20, maxdim=40,
+        restarts=400, method="host",
     )
     np.asarray(decomp.Q[:, :1])
     wall = time.perf_counter() - t0
@@ -419,7 +501,8 @@ def kernels():
 
 def spmv_csr():
     """Irregular-sparsity SpMV on one chip: a power-law row-length matrix
-    (sprand-like) through the CSR gather+segment_sum path."""
+    (sprand-like) through (a) the CSR gather+segment_sum path and (b) the
+    bucketed-ELL SELL layout (dense per-bucket reductions, no scatter)."""
     jax = _jax()
     import numpy as np
     import jax.numpy as jnp
@@ -436,16 +519,57 @@ def spmv_csr():
     data = rng.standard_normal(nnz).astype(np.float32) * 0.05
     op = CsrOperator(indptr, indices, data, (n, n))
     dt = _spmv_time(op, 200)
-    return {
+    out = {
         "spmv_csr_gnnz_per_s": round(nnz / dt / 1e9, 3),
         "spmv_csr_us_per_iter": round(dt * 1e6, 2),
         "spmv_csr_nnz": nnz,
         "spmv_csr_max_row": int(row_nnz.max()),
     }
+    sell = op.to_sell()
+    dt_s = _spmv_time(sell, 200)
+    out["spmv_sell_gnnz_per_s"] = round(nnz / dt_s / 1e9, 3)
+    out["spmv_sell_us_per_iter"] = round(dt_s * 1e6, 2)
+    out["spmv_sell_pad_frac"] = round(sell.nnz_stored / nnz - 1, 3)
+    out["spmv_sell_vs_csr"] = round(dt / dt_s, 2)
+    return out
+
+
+def bsr():
+    """BSR Pallas kernel throughput on a realistic clustered-sparse matrix:
+    512 block-rows of 128x128 blocks, 8 blocks per row (n=65536, 67M
+    stored nnz, ~268 MB of block data).  The matvec is HBM-bound on the
+    block data, so effective GB/s vs the memcpy roofline is the honest
+    metric; the einsum (non-Pallas) formulation is timed for context."""
+    jax = _jax()
+    import numpy as np
+    import jax.numpy as jnp
+
+    from arnoldimethod_tpu.models.operators import BsrOperator
+
+    rng = np.random.default_rng(7)
+    nbr, KB, B = 512, 8, 128
+    n = nbr * B
+    block_cols = np.sort(
+        np.stack([rng.choice(nbr, size=KB, replace=False) for _ in range(nbr)]),
+        axis=1,
+    ).astype(np.int32)
+    block_data = (rng.standard_normal((nbr, KB, B, B)) * 0.01).astype(np.float32)
+    out = {}
+    op_p = BsrOperator(block_cols, block_data, (n, n), use_pallas=True)
+    dt_p = _spmv_time(op_p, 200)
+    data_bytes = op_p.block_data.size * 4
+    out["bsr_pallas_gnnz_per_s"] = round(op_p.nnz / dt_p / 1e9, 3)
+    out["bsr_pallas_eff_gbs"] = round(data_bytes / dt_p / 1e9, 1)
+    op_e = BsrOperator(block_cols, block_data, (n, n), use_pallas=False)
+    dt_e = _spmv_time(op_e, 200)
+    out["bsr_xla_gnnz_per_s"] = round(op_e.nnz / dt_e / 1e9, 3)
+    out["bsr_pallas_vs_xla"] = round(dt_e / dt_p, 2)
+    return out
 
 
 PHASES = {
     "readme": readme_parity,
+    "bsr": bsr,
     "spmv1m": lambda: spmv(1024, 1000),
     "spmv16m": lambda: spmv(4096, 300, key="spmv_16m"),
     "roofline": roofline,
@@ -466,6 +590,7 @@ PHASE_ORDER = [
     "kernels",
     "shiftinv",
     "conv",
+    "bsr",
     "spmvcsr",
     "spmv16m",
     "e2e1mcheb",

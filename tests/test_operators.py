@@ -196,3 +196,69 @@ def test_as_operator_scipy_sparse():
     # Non-square raises.
     with pytest.raises(ValueError, match="not square"):
         as_operator(sp.random(6, 7, density=0.5, format="csr"))
+
+
+def test_as_operator_scipy_sparse_complex_cpu():
+    """Complex sparse matrices run end-to-end on CPU backends (the
+    reference supports any eltype incl. Complex, readme.md:63-69; TPU
+    backends instead raise — see the gate in as_operator/driver)."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(0)
+    n = 60
+    S = sp.diags(
+        np.arange(1, n + 1).astype(np.complex128) * (1 + 0.5j)
+    ).tocsr() + 0.1 * sp.random(
+        n, n, density=0.05, random_state=rng, format="csr"
+    ).astype(np.complex128)
+    d, h = partial_schur(as_operator(S), nev=4, which="LM", tol=1e-9)
+    assert h.converged
+    A = S.toarray()
+    Q, R = np.asarray(d.Q), np.asarray(d.R)
+    assert np.linalg.norm(A @ Q - Q @ R) < 1e-6
+
+
+def test_sell_operator():
+    """Bucketed ELL (SELL): exact matvec on power-law row lengths with
+    empty rows, bounded padding, and end-to-end partial_schur agreement
+    with the CSR path."""
+    import scipy.sparse as sp
+
+    from arnoldimethod_tpu import CsrOperator
+    from arnoldimethod_tpu.models import SellOperator
+
+    rng = np.random.default_rng(11)
+    n = 300
+    # Power-law row lengths: most rows short, a few with ~n/4 nonzeros.
+    row_nnz = np.minimum(rng.zipf(1.6, size=n), n // 4)
+    row_nnz[5] = 0  # empty row
+    rows, cols = [], []
+    for i, k in enumerate(row_nnz):
+        rows.extend([i] * k)
+        cols.extend(rng.choice(n, size=k, replace=False))
+    vals = rng.standard_normal(len(rows)) * 0.05
+    S = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    S = S + sp.diags(np.arange(1, n + 1.0))
+    S = S.tocsr()
+
+    csr = CsrOperator(S.indptr, S.indices, S.data, S.shape)
+    sell = csr.to_sell()
+    assert isinstance(sell, SellOperator)
+    assert sell.nnz == S.nnz
+    # Pow2 bucketing bounds stored slots by 2x the true nnz.
+    assert sell.nnz_stored <= 2 * S.nnz + n
+
+    x = rng.standard_normal(n)
+    y_ref = S @ x
+    np.testing.assert_allclose(
+        np.asarray(sell.matvec(jnp.asarray(x))), y_ref, rtol=1e-12, atol=1e-12
+    )
+    # jit-traceable as a pytree argument.
+    y_jit = jax.jit(lambda op, v: op.matvec(v))(sell, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_jit), y_ref, rtol=1e-12, atol=1e-12)
+
+    decomp, history = partial_schur(sell, nev=4, which="LM", tol=1e-9)
+    assert history.converged
+    lam = np.sort(np.asarray(decomp.eigenvalues.real))
+    expect = np.sort(np.linalg.eigvals(S.toarray()).real)[-4:]
+    np.testing.assert_allclose(lam, expect, rtol=1e-7)
