@@ -254,58 +254,91 @@ class BsrOperator(LinearOperator):
     over gathered x blocks."""
 
     def __init__(self, block_cols, block_data, shape, use_pallas=None):
-        self.block_cols = (
-            block_cols
-            if isinstance(block_cols, jax.Array)
-            else jnp.asarray(block_cols, dtype=jnp.int32)
-        )
-        self.block_data = (
-            block_data if isinstance(block_data, jax.Array) else jnp.asarray(block_data)
-        )
+        from ..ops.bsr_pallas import pack_bsr
+
+        # Packed once at construction: nbr padded to a multiple of 8, KB
+        # to a multiple of KC, blocks TRANSPOSED for the kernel's
+        # (1, KC*B) x (KC*B, B) MXU contraction (see ops/bsr_pallas.py).
+        # Per-call padding would copy the streamed array every matvec.
+        cols, dataT = pack_bsr(block_cols, block_data)
+        self.block_cols = jnp.asarray(cols)
+        self.block_dataT = jnp.asarray(dataT)
+        self.logical_blocks = tuple(np.asarray(block_data).shape[:2])
         self.shape = tuple(shape)
-        self.dtype = self.block_data.dtype
+        self.dtype = self.block_dataT.dtype
         self.use_pallas = use_pallas
 
     @property
     def block_size(self):
-        return self.block_data.shape[-1]
+        return self.block_dataT.shape[-1]
+
+    @property
+    def block_data(self):
+        """Blocks in natural orientation (materializes a transposed copy —
+        storage is the packed transposed layout)."""
+        nbr, KB = self.logical_blocks
+        return self.block_dataT[:nbr, :KB].transpose(0, 1, 3, 2)
 
     @property
     def nnz(self):
-        return int(self.block_data.size)
+        nbr, KB = self.logical_blocks
+        B = self.block_size
+        return int(nbr * KB * B * B)
 
     def matvec(self, x):
+        from ..ops.bsr_pallas import VMEM_BUDGET_BYTES, vmem_resident_bytes
+
+        B = self.block_size
+        n = self.shape[0]
+        fits_vmem = (
+            vmem_resident_bytes(
+                self.block_dataT.shape[0], x.shape[0] // B, B, x.dtype.itemsize
+            )
+            <= VMEM_BUDGET_BYTES
+        )
         use_pallas = self.use_pallas
         if use_pallas is None:
+            # The kernel keeps x and y fully VMEM-resident (n <~ 1.5M rows
+            # at f32/B=128); beyond that budget auto-select falls back to
+            # the einsum path instead of a Mosaic VMEM-OOM compile error.
             use_pallas = (
-                jax.default_backend() == "tpu" and jax.device_count() == 1
+                jax.default_backend() == "tpu"
+                and jax.device_count() == 1
+                and fits_vmem
+            )
+        elif use_pallas and not fits_vmem:
+            raise ValueError(
+                f"BSR Pallas kernel requires x and y resident in VMEM; "
+                f"n={x.shape[0]} exceeds the ~{VMEM_BUDGET_BYTES >> 20} MiB "
+                f"budget (~1.5M rows at float32). Use use_pallas=False or "
+                f"shard rows across devices first."
             )
         if use_pallas:
             from ..ops.bsr_pallas import bsr_matvec
 
-            return bsr_matvec(self.block_cols, self.block_data, x)
-        B = self.block_size
+            return bsr_matvec(self.block_cols, self.block_dataT, x)[:n]
         xb = x.reshape(-1, B)
-        gathered = xb[self.block_cols]  # (nbr, KB, B)
+        gathered = xb[self.block_cols]  # (nbr_pad, KB_pad, B)
         return jnp.einsum(
-            "rkij,rkj->ri",
-            self.block_data,
+            "rkji,rkj->ri",  # blocks stored transposed: dataT[r,k,j,i]=A[i,j]
+            self.block_dataT,
             gathered,
             precision=jax.lax.Precision.HIGHEST,
-        ).reshape(-1)
+        ).reshape(-1)[:n]
 
     def tree_flatten(self):
-        return (self.block_cols, self.block_data), (
+        return (self.block_cols, self.block_dataT), (
             self.shape,
             self.dtype,
             self.use_pallas,
+            self.logical_blocks,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
-        obj.block_cols, obj.block_data = children
-        obj.shape, obj.dtype, obj.use_pallas = aux
+        obj.block_cols, obj.block_dataT = children
+        obj.shape, obj.dtype, obj.use_pallas, obj.logical_blocks = aux
         return obj
 
 

@@ -20,8 +20,11 @@ Prints ONE JSON line:
 
 The TPU sits behind a remote compile service whose latency is bimodal
 (seconds to tens of minutes for identical programs), so each phase runs
-in a subprocess with a hard timeout and the JSON line is emitted no
-matter what; timed-out phases report null.
+in a subprocess with a hard timeout, the cumulative JSON line is
+re-printed after EVERY phase (so a harness kill at any point still
+leaves the last complete line on stdout — the driver keeps the tail),
+and a global BENCH_TOTAL_BUDGET_S deadline marks remaining phases
+skipped and exits 0 instead of letting the run be killed from outside.
 """
 
 import json
@@ -30,10 +33,10 @@ import subprocess
 import sys
 import time
 
-# 600 s per phase bounds the whole 9-phase run at ~90 min even when the
-# remote compile service is in its slow mode; phases whose programs are
-# already in the persistent cache finish in seconds.
+# 600 s per phase bounds any one slow-compile straggler; the global
+# budget bounds the whole run against the harness's own timeout.
 PHASE_TIMEOUT_S = int(os.environ.get("BENCH_PHASE_TIMEOUT_S", "600"))
+TOTAL_BUDGET_S = int(os.environ.get("BENCH_TOTAL_BUDGET_S", "2400"))
 
 
 def _jax():
@@ -557,7 +560,7 @@ def bsr():
     out = {}
     op_p = BsrOperator(block_cols, block_data, (n, n), use_pallas=True)
     dt_p = _spmv_time(op_p, 200)
-    data_bytes = op_p.block_data.size * 4
+    data_bytes = op_p.block_dataT.size * 4
     out["bsr_pallas_gnnz_per_s"] = round(op_p.nnz / dt_p / 1e9, 3)
     out["bsr_pallas_eff_gbs"] = round(data_bytes / dt_p / 1e9, 1)
     op_e = BsrOperator(block_cols, block_data, (n, n), use_pallas=False)
@@ -598,13 +601,13 @@ PHASE_ORDER = [
 ]
 
 
-def _run_phase_subprocess(name):
+def _run_phase_subprocess(name, timeout_s):
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--phase", name],
             capture_output=True,
             text=True,
-            timeout=PHASE_TIMEOUT_S,
+            timeout=timeout_s,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         for line in reversed(out.stdout.strip().splitlines()):
@@ -613,7 +616,22 @@ def _run_phase_subprocess(name):
                 return json.loads(line)
         return {f"{name}_error": (out.stderr or "no output")[-300:]}
     except subprocess.TimeoutExpired:
-        return {f"{name}_timeout_s": PHASE_TIMEOUT_S}
+        return {f"{name}_timeout_s": round(timeout_s)}
+
+
+def _emit(results):
+    """Print the CUMULATIVE result line.  Called after every phase: the
+    harness records only the output tail, so re-printing the full line
+    each time guarantees the last complete line survives any kill."""
+    matvecs = results.get("value")
+    out = {
+        "metric": "matvecs_readme_laplacian100_nev10_sr_tol1e-6",
+        "value": matvecs,
+        "unit": "matvecs",
+        "vs_baseline": round(174.0 / matvecs, 4) if matvecs else None,
+    }
+    out.update({k: v for k, v in results.items() if k != "value"})
+    print(json.dumps(out), flush=True)
 
 
 def main():
@@ -625,19 +643,18 @@ def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--only":
         only = sys.argv[2].split(",")
 
+    t_start = time.monotonic()
     results = {}
-    for name in only or PHASE_ORDER:
-        results.update(_run_phase_subprocess(name))
-
-    matvecs = results.get("value")
-    out = {
-        "metric": "matvecs_readme_laplacian100_nev10_sr_tol1e-6",
-        "value": matvecs,
-        "unit": "matvecs",
-        "vs_baseline": round(174.0 / matvecs, 4) if matvecs else None,
-    }
-    out.update({k: v for k, v in results.items() if k != "value"})
-    print(json.dumps(out))
+    order = only or PHASE_ORDER
+    for i, name in enumerate(order):
+        left = TOTAL_BUDGET_S - (time.monotonic() - t_start)
+        if left < 30:
+            results["skipped_over_budget"] = order[i:]
+            _emit(results)
+            break
+        results.update(_run_phase_subprocess(name, min(PHASE_TIMEOUT_S, left)))
+        results["elapsed_s"] = round(time.monotonic() - t_start, 1)
+        _emit(results)
 
 
 if __name__ == "__main__":

@@ -35,9 +35,62 @@ def test_bsr_matvec_matches_dense(B):
     assert np.allclose(y, y_ref, atol=1e-10)
 
     y_pl = np.asarray(
-        bsr_matvec(op.block_cols, op.block_data, jnp.asarray(x), interpret=True)
-    )
+        bsr_matvec(op.block_cols, op.block_dataT, jnp.asarray(x), interpret=True)
+    )[:n]
     assert np.allclose(y_pl, y_ref, atol=1e-10)
+
+
+@pytest.mark.parametrize("nbr,KB,B", [(3, 11, 8), (5, 3, 16), (3, 9, 8)])
+def test_bsr_padding_paths(nbr, KB, B):
+    """KB not a multiple of KC=8 and nbr/nbc not multiples of 8 exercise
+    the KC-chunk padding and the 8-sublane padding branches."""
+    from arnoldimethod_tpu.models.operators import BsrOperator
+
+    rng = np.random.default_rng(3)
+    kb_eff = min(KB, nbr)
+    block_cols = np.stack(
+        [np.sort(rng.choice(nbr, size=kb_eff, replace=False)) for _ in range(nbr)]
+    )
+    if kb_eff < KB:  # duplicate-column slots are legal (values add)
+        block_cols = np.concatenate(
+            [block_cols, rng.integers(0, nbr, (nbr, KB - kb_eff))], axis=1
+        )
+    block_cols = block_cols.astype(np.int32)
+    block_data = rng.standard_normal((nbr, KB, B, B))
+    n = nbr * B
+    op_e = BsrOperator(block_cols, block_data, (n, n), use_pallas=False)
+    x = jnp.asarray(rng.standard_normal(n))
+    y_e = np.asarray(op_e.matvec(x))
+    y_p = np.asarray(
+        bsr_matvec(op_e.block_cols, op_e.block_dataT, x, interpret=True)
+    )[:n]
+    assert np.allclose(y_p, y_e, atol=1e-10)
+
+
+def test_bsr_vmem_budget_fallback(monkeypatch):
+    """Above the VMEM budget, auto-select silently uses einsum; an explicit
+    use_pallas=True raises a clear error instead of a Mosaic OOM."""
+    from arnoldimethod_tpu.models.operators import BsrOperator
+    from arnoldimethod_tpu.ops import bsr_pallas
+
+    rng = np.random.default_rng(4)
+    nbr, KB, B = 8, 2, 8
+    block_cols = rng.integers(0, nbr, (nbr, KB)).astype(np.int32)
+    block_data = rng.standard_normal((nbr, KB, B, B))
+    n = nbr * B
+    x = jnp.asarray(rng.standard_normal(n))
+    monkeypatch.setattr(bsr_pallas, "VMEM_BUDGET_BYTES", 16)
+    op_auto = BsrOperator(block_cols, block_data, (n, n))
+    y = np.asarray(op_auto.matvec(x))  # einsum fallback, no error
+    A = np.zeros((n, n))
+    for i in range(nbr):
+        for k in range(KB):
+            c = block_cols[i, k]
+            A[i * B : (i + 1) * B, c * B : (c + 1) * B] += block_data[i, k]
+    assert np.allclose(y, A @ np.asarray(x), atol=1e-10)
+    op_forced = BsrOperator(block_cols, block_data, (n, n), use_pallas=True)
+    with pytest.raises(ValueError, match="VMEM"):
+        op_forced.matvec(x)
 
 
 def test_bsr_through_solver():
