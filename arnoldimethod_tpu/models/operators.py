@@ -532,25 +532,45 @@ class ShardedCsrOperator(LinearOperator):
     one chunk, apply a symmetric permutation to the matrix first; that is
     a similarity transform, so the spectrum is unchanged.)
 
-    The matvec is a `shard_map`: one tiled all_gather of x over the mesh
-    (the unstructured-sparsity generalization of a halo exchange, riding
-    ICI), then a purely local gather + sorted segment_sum per shard.
+    The matvec is a `shard_map` with two communication strategies:
+
+      * gather="footprint" (default when it pays): at build time each
+        (dest, source) shard pair's COLUMN FOOTPRINT — the unique x
+        entries of `source` that `dest`'s nonzeros actually reference —
+        is precomputed; the matvec runs ndev-1 `ppermute` rounds, each
+        device sending exactly the footprint segment its round-r neighbor
+        needs, and the local column indices are pre-remapped into
+        [x_local | recv_1 | ... | recv_{ndev-1}].  Comm bytes per device
+        are proportional to the footprint, not to n — the property that
+        decides multi-chip SpMV scaling (BASELINE.json:5).
+      * gather="all": one tiled all_gather of x (O(n) bytes/device) —
+        the fallback when the footprint is dense, and the former default.
+
+    gather="auto" (the build default) picks footprint iff its padded
+    per-device receive volume is below half of the all_gather's.
     """
 
-    def __init__(self, rows, cols, data, shape, mesh):
+    def __init__(self, rows, cols, data, shape, mesh, send_idx=None,
+                 mode="all"):
         from ..parallel.mesh import ROWS
 
         self.rows = rows
         self.cols = cols
         self.data = data
+        self.send_idx = send_idx
         self.shape = tuple(shape)
         self.dtype = data.dtype
         self.mesh = mesh
+        self.mode = mode
         self._axis = ROWS
 
     @classmethod
-    def build(cls, indptr, indices, data, shape, mesh, dtype=None):
-        """Partition host CSR arrays over `mesh` (host-side, one pass)."""
+    def build(cls, indptr, indices, data, shape, mesh, dtype=None,
+              gather="auto"):
+        """Partition host CSR arrays over `mesh` (host-side, one pass).
+
+        gather: "footprint" | "all" | "auto" (see class docstring).
+        """
         from jax.sharding import NamedSharding, PartitionSpec as P
         from ..parallel.mesh import ROWS
 
@@ -583,6 +603,53 @@ class ShardedCsrOperator(LinearOperator):
             )
             cols[r, :k] = indices[lo:hi]
             vals[r, :k] = data[lo:hi]
+
+        mode, send_idx_np = gather, None
+        if mode != "all" and ndev > 1:
+            # Column footprints: fps[d][s] = sorted unique global columns
+            # of dest shard d that live in source shard s.
+            fps = [[None] * ndev for _ in range(ndev)]
+            F = 1
+            for d in range(ndev):
+                lo, hi = indptr[d * n_local], indptr[(d + 1) * n_local]
+                cu = np.unique(indices[lo:hi])
+                src = cu // n_local
+                for s in range(ndev):
+                    if s != d:
+                        fps[d][s] = cu[src == s]
+                        F = max(F, len(fps[d][s]))
+            if mode == "auto":
+                # The padded receive volume must beat the all_gather's
+                # n - n_local by a margin (ppermute rounds also serialize).
+                mode = "footprint" if (ndev - 1) * F <= (n - n_local) // 2 \
+                    else "all"
+            if mode == "footprint":
+                send_idx_np = np.zeros((ndev, ndev, F), dtype=np.int32)
+                for d in range(ndev):
+                    for s in range(ndev):
+                        if s == d:
+                            continue
+                        f = fps[d][s]
+                        send_idx_np[s, d, : len(f)] = f - s * n_local
+                # Remap each shard's column indices into the concatenated
+                # local buffer [x_local | recv_r=1 | ... | recv_r=ndev-1],
+                # where round r delivers source s = (d - r) mod ndev.
+                for d in range(ndev):
+                    lo, hi = indptr[d * n_local], indptr[(d + 1) * n_local]
+                    k = hi - lo
+                    cg = indices[lo:hi].astype(np.int64)
+                    src = cg // n_local
+                    out = np.where(src == d, cg - d * n_local, 0)
+                    for s in range(ndev):
+                        if s == d or not (src == s).any():
+                            continue
+                        sel = src == s
+                        off = n_local + (((d - s) % ndev) - 1) * F
+                        out[sel] = off + np.searchsorted(fps[d][s], cg[sel])
+                    cols[d, :k] = out
+        elif mode == "auto":
+            mode = "all"
+
         rowwise = NamedSharding(mesh, P(ROWS, None))
         return cls(
             jax.device_put(jnp.asarray(rows), rowwise),
@@ -590,17 +657,65 @@ class ShardedCsrOperator(LinearOperator):
             jax.device_put(jnp.asarray(vals), rowwise),
             shape,
             mesh,
+            send_idx=(
+                jax.device_put(
+                    jnp.asarray(send_idx_np), NamedSharding(mesh, P(ROWS, None, None))
+                )
+                if send_idx_np is not None
+                else None
+            ),
+            mode=mode,
         )
 
     @property
     def nnz(self):
         return int(self.data.size)
 
+    @property
+    def footprint_elems(self):
+        """Per-device per-round receive size (0 on the all_gather path)."""
+        return 0 if self.send_idx is None else int(self.send_idx.shape[-1])
+
     def matvec(self, x):
         from jax.sharding import PartitionSpec as P
 
-        n_local = self.shape[0] // self.mesh.devices.size
+        ndev = self.mesh.devices.size
+        n_local = self.shape[0] // ndev
         axis = self._axis
+
+        if self.mode == "footprint":
+            perms = [
+                [(s, (s + r) % ndev) for s in range(ndev)]
+                for r in range(1, ndev)
+            ]
+
+            def local_mv(rows, cols, data, send_tbl, x_shard):
+                me = jax.lax.axis_index(axis)
+                bufs = [x_shard]
+                for r in range(1, ndev):
+                    dest = (me + r) % ndev
+                    idx = jax.lax.dynamic_index_in_dim(
+                        send_tbl[0], dest, keepdims=False
+                    )
+                    bufs.append(
+                        jax.lax.ppermute(x_shard[idx], axis, perms[r - 1])
+                    )
+                x_ext = jnp.concatenate(bufs)
+                prods = data[0] * x_ext[cols[0]]
+                return jax.ops.segment_sum(
+                    prods, rows[0], num_segments=n_local,
+                    indices_are_sorted=True,
+                )
+
+            return jax.shard_map(
+                local_mv,
+                mesh=self.mesh,
+                in_specs=(
+                    P(axis, None), P(axis, None), P(axis, None),
+                    P(axis, None, None), P(axis),
+                ),
+                out_specs=P(axis),
+            )(self.rows, self.cols, self.data, self.send_idx, x)
 
         def local_mv(rows, cols, data, x_shard):
             x_full = jax.lax.all_gather(x_shard, axis, axis=0, tiled=True)
@@ -617,16 +732,17 @@ class ShardedCsrOperator(LinearOperator):
         )(self.rows, self.cols, self.data, x)
 
     def tree_flatten(self):
-        return (self.rows, self.cols, self.data), (
+        return (self.rows, self.cols, self.data, self.send_idx), (
             self.shape,
             self.mesh,
+            self.mode,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
-        obj.rows, obj.cols, obj.data = children
-        obj.shape, obj.mesh = aux
+        obj.rows, obj.cols, obj.data, obj.send_idx = children
+        obj.shape, obj.mesh, obj.mode = aux
         obj.dtype = getattr(obj.data, "dtype", None)
         from ..parallel.mesh import ROWS
 

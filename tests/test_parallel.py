@@ -193,3 +193,99 @@ def test_pod_mesh_single_host():
     mesh = make_pod_mesh()
     assert mesh.axis_names == ("rows",)
     assert mesh.devices.size == len(jax.devices())
+
+
+def _banded_csr(n, bw=3, dtype=np.float64):
+    """Banded sparse matrix: each shard's column footprint is only the
+    ~bw boundary entries of its neighbors — the footprint-gather case."""
+    from arnoldimethod_tpu.models.operators import CsrOperator
+
+    rng = np.random.default_rng(5)
+    indptr = [0]
+    idx, vals = [], []
+    for i in range(n):
+        cols = np.arange(max(0, i - bw), min(n, i + bw + 1))
+        idx.append(cols.astype(np.int32))
+        v = rng.standard_normal(len(cols))
+        v[cols == i] += 4.0
+        vals.append(v)
+        indptr.append(indptr[-1] + len(cols))
+    A = np.zeros((n, n), dtype=dtype)
+    for i in range(n):
+        A[i, idx[i]] = vals[i]
+    return A, CsrOperator(
+        np.asarray(indptr), np.concatenate(idx), np.concatenate(vals), (n, n)
+    )
+
+
+@pytest.mark.parametrize("gather", ["footprint", "all"])
+def test_sharded_csr_gather_modes_exact(gather):
+    """Both communication strategies produce the exact dense matvec."""
+    from arnoldimethod_tpu.models.operators import ShardedCsrOperator
+
+    n = 256
+    A, op = _banded_csr(n)
+    mesh = make_mesh(8)
+    sop = ShardedCsrOperator.build(
+        np.asarray(op.indptr), np.asarray(op.indices), np.asarray(op.data),
+        op.shape, mesh, gather=gather,
+    )
+    assert sop.mode == gather
+    x = np.linspace(-1, 1, n)
+    y = np.asarray(jax.jit(sop.matvec)(jnp.asarray(x)))
+    assert np.allclose(y, A @ x, atol=1e-12)
+
+
+def test_sharded_csr_auto_picks_footprint_for_banded():
+    """auto selects the footprint path when the footprint is sparse (banded)
+    and the all_gather path when it is dense (uniform random)."""
+    from arnoldimethod_tpu.models.operators import ShardedCsrOperator
+
+    mesh = make_mesh(8)
+    n = 256
+    _, op = _banded_csr(n)
+    sop = ShardedCsrOperator.build(
+        np.asarray(op.indptr), np.asarray(op.indices), np.asarray(op.data),
+        op.shape, mesh,
+    )
+    assert sop.mode == "footprint"
+    # bw=3 band: each shard needs <= 3 entries of each neighbour.
+    assert sop.footprint_elems <= 3
+
+    rng = np.random.default_rng(0)
+    dense_idx = np.stack([rng.permutation(n) for _ in range(n)])[:, :64]
+    indptr = np.arange(n + 1) * 64
+    sop2 = ShardedCsrOperator.build(
+        indptr, np.sort(dense_idx, axis=1).ravel(),
+        np.ones(n * 64), (n, n), mesh,
+    )
+    assert sop2.mode == "all"
+
+
+def test_sharded_csr_footprint_comm_bytes():
+    """The compiled footprint matvec communicates O(footprint) elements via
+    collective-permute and contains NO all-gather: comm bytes are
+    proportional to the boundary, not to n (VERDICT r2 item 5)."""
+    import re
+
+    from arnoldimethod_tpu.models.operators import ShardedCsrOperator
+
+    n = 1024
+    _, op = _banded_csr(n)
+    mesh = make_mesh(8)
+    sop = ShardedCsrOperator.build(
+        np.asarray(op.indptr), np.asarray(op.indices), np.asarray(op.data),
+        op.shape, mesh,
+    )
+    assert sop.mode == "footprint"
+    x = jnp.asarray(np.linspace(-1, 1, n))
+    txt = jax.jit(sop.matvec).lower(x).compile().as_text()
+    assert "all-gather" not in txt
+    # Every collective-permute payload is a footprint-sized f64 vector.
+    sizes = [int(s) for s in re.findall(r"f64\[(\d+)\][^)]*collective-permute", txt)]
+    payloads = [s for s in sizes if s > 1]
+    assert payloads, txt[:2000]
+    F = sop.footprint_elems
+    assert all(s <= F for s in payloads), (payloads, F)
+    # Total comm per device: (ndev-1) * F elems, far below n - n_local.
+    assert (8 - 1) * F * 8 < (n - n // 8) * 8 / 2
