@@ -23,6 +23,7 @@ from .targets import LI, LM, LR, SI, SR, Target
 from .transforms import (
     BInnerProductOperator,
     ChebyshevFilterOperator,
+    estimate_interval,
     GeneralizedShiftInvertOperator,
     power_bound,
     rayleigh_ritz,
@@ -72,6 +73,7 @@ __all__ = [
     "GeneralizedShiftInvertOperator",
     "BInnerProductOperator",
     "ChebyshevFilterOperator",
+    "estimate_interval",
     "power_bound",
     "rayleigh_ritz",
     "as_operator",

@@ -26,6 +26,7 @@ __all__ = [
     "GeneralizedShiftInvertOperator",
     "BInnerProductOperator",
     "ChebyshevFilterOperator",
+    "estimate_interval",
     "power_bound",
     "rayleigh_ritz",
 ]
@@ -144,11 +145,22 @@ class ChebyshevFilterOperator(LinearOperator):
     eigenvalues from the converged Schur vectors with `rayleigh_ritz`.
     """
 
-    def __init__(self, op, a, b, degree):
-        self.op = op
+    def __init__(self, op, a, b, degree, scale_point=None):
+        """scale_point: a point at (or slightly above) the spectrum's lower
+        edge.  When given, the SCALED three-term recurrence
+        y_{k+1} = 2 sigma_{k+1} L y_k - sigma_k sigma_{k+1} y_{k-1}
+        (Zhou & Saad's Chebyshev-Davidson normalization) divides every
+        iterate by T_k(t(scale_point)), so |p| stays ~<= 1 across the whole
+        spectrum instead of growing like cosh(degree * acosh|t|) — without
+        it, float32 overflows for degrees past a few hundred whenever the
+        interval estimate is loose.  Relative amplification (what drives
+        convergence) is unchanged.  None = unscaled T_k (exact Chebyshev
+        values, fine for small degrees / float64)."""
+        self.op = as_operator(op)
         self.a = float(a)
         self.b = float(b)
         self.degree = int(degree)
+        self.scale_point = None if scale_point is None else float(scale_point)
         self.shape = op.shape
         self.dtype = op.dtype
 
@@ -159,23 +171,44 @@ class ChebyshevFilterOperator(LinearOperator):
         def L(v):
             return (self.op.matvec(v) - c * v) * (1.0 / e)
 
-        t0, t1 = x, L(x)
+        if self.scale_point is None:
+            t0, t1 = x, L(x)
+
+            def body(i, carry):
+                tkm1, tk = carry
+                return tk, 2.0 * L(tk) - tkm1
+
+            _, t = lax.fori_loop(0, self.degree - 1, body, (t0, t1))
+            return t
+
+        # Scaled recurrence: carry sigma_k = T_{k-1}(t0)/T_k(t0) via
+        # 1/sigma_{k+1} = 2 t0 - sigma_k (never materializing T_k itself).
+        t0v = (self.scale_point - c) / e
+        sig1 = 1.0 / t0v
+        y0, y1 = x, sig1 * L(x)
 
         def body(i, carry):
-            tkm1, tk = carry
-            return tk, 2.0 * L(tk) - tkm1
+            ykm1, yk, sig = carry
+            sig_next = 1.0 / (2.0 * t0v - sig)
+            y_next = 2.0 * sig_next * L(yk) - sig * sig_next * ykm1
+            return yk, y_next, sig_next
 
-        _, t = lax.fori_loop(0, self.degree - 1, body, (t0, t1))
-        return t
+        _, y, _ = lax.fori_loop(
+            0, self.degree - 1, body, (y0, y1, jnp.asarray(sig1, self.dtype))
+        )
+        return y
 
     def tree_flatten(self):
-        return (self.op,), (self.a, self.b, self.degree)
+        # a/b/scale_point are LEAVES (traced): re-tightening the interval
+        # (estimate_interval's refinement rounds) must not recompile the
+        # degree-`degree` filter program.
+        return (self.op, self.a, self.b, self.scale_point), (self.degree,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
-        (obj.op,) = children
-        obj.a, obj.b, obj.degree = aux
+        obj.op, obj.a, obj.b, obj.scale_point = children
+        (obj.degree,) = aux
         obj.shape = getattr(obj.op, "shape", None)
         obj.dtype = getattr(obj.op, "dtype", None)
         return obj
@@ -198,6 +231,76 @@ def power_bound(A, iters=20, seed=0, safety=1.05):
 
     v, nrm = lax.fori_loop(0, iters, body, (v, jnp.asarray(1.0, op.dtype)))
     return float(nrm) * safety
+
+
+def estimate_interval(A, nev, maxdim=None, safety=3.0, seed=0, b_iters=30,
+                      refine=2, refine_degree=100):
+    """Damping interval for ChebyshevFilterOperator computed from solver
+    outputs only — no knowledge of the spectrum required.  Returns a
+    namedtuple (a, b, lo):
+
+      b:  upper bound on the spectral radius via `power_bound`;
+      lo: estimate of the spectrum's lower edge — pass it as the filter's
+          `scale_point` so high degrees cannot overflow;
+      a:  the lower damping edge, placed `safety` x the estimated width
+          of the wanted band above `lo`.
+
+    The first (lo, a) guess comes from one coarse m-step Arnoldi pass
+    (m ~ 2*nev + 10): for symmetric A the Ritz values interlace the
+    spectrum, so the nev-th smallest Ritz value >= lambda_nev.  On large
+    problems that coarse guess overestimates the band by orders of
+    magnitude (the interval edge then sits deep inside the spectrum and
+    the filter separates nothing), so `refine` rounds of Chebyshev
+    FILTERED subspace iteration follow: apply a moderate-degree scaled
+    filter to a random (nev+5)-block, orthonormalize, Rayleigh-Ritz on A,
+    and re-tighten (lo, a) from the improved eigenvalue estimates — the
+    standard ChebFSI bootstrap.  Each round costs ~(nev+5)*refine_degree
+    streaming matvecs inside a handful of dispatches.
+
+    Cost: b_iters + m + refine*(nev+5)*refine_degree matvecs.
+    Recipe: docs/transforms.md.
+    """
+    import collections
+
+    import numpy as np
+
+    from .ops.expansion import expand_range_impl, set_initial_vector
+
+    Interval = collections.namedtuple("Interval", ["a", "b", "lo"])
+    op = as_operator(A)
+    b = power_bound(op, iters=b_iters, seed=seed)
+    m = int(maxdim or min(max(2 * nev + 10, 30), op.shape[0]))
+    n = op.shape[0]
+    key = jax.random.PRNGKey(seed)
+    V = jnp.zeros((m + 1, n), dtype=op.dtype)
+    H = jnp.zeros((m + 1, m), dtype=op.dtype)
+    V = set_initial_vector(V, jax.random.normal(key, (n,), dtype=op.dtype))
+    _, H = expand_range_impl(op, V, H, 0, m, key)
+    ritz = np.sort(np.linalg.eigvals(np.asarray(H[:m, :m], np.float64)).real)
+    lo, theta = ritz[0], ritz[min(nev, m) - 1]
+
+    def edge(lo, theta):
+        a = lo + safety * (theta - lo)
+        if not a < b:  # degenerate (flat) estimate: damp the top half
+            a = lo + 0.5 * (b - lo)
+        return a
+
+    a = edge(lo, theta)
+    k = min(nev + 5, n)
+    X = jax.random.normal(jax.random.fold_in(key, 1), (n, k), dtype=op.dtype)
+    # lax.map, not vmap: Pallas kernels with resident (ANY/VMEM) operands
+    # do not batch, and sequential filtered matvecs inside one dispatch
+    # are exactly as HBM-bound as a batched one would be.
+    filt = jax.jit(lambda fop, X: lax.map(fop.matvec, X.T).T)
+    for _ in range(refine):
+        fop = ChebyshevFilterOperator(op, a, b, refine_degree, scale_point=lo)
+        Q, _ = jnp.linalg.qr(filt(fop, X))
+        w, _, _ = rayleigh_ritz(op, Q)
+        w = np.sort(np.asarray(w).real)
+        lo, theta = min(lo, w[0]), w[min(nev, k) - 1]
+        a = edge(lo, theta)
+        X = Q
+    return Interval(float(a), float(b), float(lo))
 
 
 def rayleigh_ritz(A, Q):

@@ -369,15 +369,16 @@ def e2e_1m_cheb():
     (transforms.ChebyshevFilterOperator).  Each filtered matvec is 600
     streaming SpMVs inside one dispatch (pure HBM-bound work); the
     latency-bound restart count collapses from hundreds to a handful.
-    A's eigenvalues are recovered with rayleigh_ritz and checked against
-    the analytic spectrum."""
+    The damping interval comes from `estimate_interval` — solver outputs
+    only, the exact recipe a user runs (docs/transforms.md); the analytic
+    spectrum below is used ONLY to check the answer."""
     _jax()
     import numpy as np
 
     from arnoldimethod_tpu import (
         ChebyshevFilterOperator,
+        estimate_interval,
         partial_schur,
-        power_bound,
         rayleigh_ritz,
     )
 
@@ -387,11 +388,9 @@ def e2e_1m_cheb():
     exact = np.sort(np.add.outer(lam1, lam1).ravel(order="C"))[:24]
 
     t0 = time.perf_counter()
-    b = power_bound(op, iters=30)
-    # Damping interval starts ~3x above the 20th wanted eigenvalue.
-    a = float(exact[19] * 3)
+    a, b, lo = estimate_interval(op, nev=20)
     deg = 600
-    fop = ChebyshevFilterOperator(op, a, b, deg)
+    fop = ChebyshevFilterOperator(op, a, b, deg, scale_point=lo)
     decomp, history = partial_schur(
         fop, nev=20, which="LM", tol=1e-7, method="host"
     )

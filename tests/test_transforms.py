@@ -116,3 +116,60 @@ def test_chebyshev_filter_matvec_is_polynomial():
     want = t1 @ x
     got = np.asarray(op.matvec(jnp.asarray(x)))
     assert np.allclose(got, want, atol=1e-9)
+
+
+def test_estimate_interval_user_recipe():
+    """estimate_interval returns a usable damping interval from solver
+    outputs only: a is above the wanted band, b bounds the spectrum, and
+    the end-to-end filtered solve converges and recovers A's smallest
+    eigenvalues (the exact recipe in docs/transforms.md)."""
+    from arnoldimethod_tpu import (
+        ChebyshevFilterOperator,
+        estimate_interval,
+        partial_schur,
+        rayleigh_ritz,
+    )
+    from arnoldimethod_tpu.models.problems import laplacian_2d
+
+    nx = 32
+    op = laplacian_2d(nx, nx)
+    lam1 = 2 - 2 * np.cos(np.pi * np.arange(1, nx + 1) / (nx + 1))
+    exact = np.sort(np.add.outer(lam1, lam1).ravel())
+
+    nev = 5
+    a, b, lo = estimate_interval(op, nev=nev)
+    assert b >= exact[-1]          # true spectral upper bound
+    assert a > exact[nev - 1]      # wanted band strictly below the interval
+    assert a < b
+    assert lo <= exact[0] * 1.5    # lower-edge estimate near lambda_min
+
+    fop = ChebyshevFilterOperator(op, a, b, 60, scale_point=lo)
+    d, h = partial_schur(fop, nev=nev, which="LM", tol=1e-10, method="host")
+    assert h.converged
+    w, X, res = rayleigh_ritz(op, d.Q)
+    assert np.allclose(w[:nev], exact[:nev], atol=1e-9)
+    assert res[:nev].max() < 1e-7
+
+
+def test_chebyshev_scaled_recurrence_matches_unscaled_direction():
+    """The scaled recurrence returns T_k(L)x / T_k(t0): identical to the
+    unscaled filter up to the scalar T_k(t0), so eigen-ordering and
+    convergence behavior are unchanged while overflow becomes impossible."""
+    from arnoldimethod_tpu import ChebyshevFilterOperator
+
+    rng = np.random.default_rng(3)
+    n = 24
+    A = np.diag(np.linspace(0.1, 4.0, n)) + 0.01 * rng.standard_normal((n, n))
+    A = (A + A.T) / 2
+    x = rng.standard_normal(n)
+    a, b, deg = 1.0, 4.5, 9
+    y_un = np.asarray(ChebyshevFilterOperator(A, a, b, deg).matvec(jnp.asarray(x)))
+    y_sc = np.asarray(
+        ChebyshevFilterOperator(A, a, b, deg, scale_point=0.05).matvec(
+            jnp.asarray(x)
+        )
+    )
+    # Proportional: the ratio is T_deg(t(scale_point)), constant over entries.
+    ratio = y_un / y_sc
+    assert np.allclose(ratio, ratio[0], rtol=1e-8)
+    assert np.max(np.abs(y_sc)) < np.max(np.abs(y_un))  # normalized down
