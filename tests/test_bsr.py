@@ -93,6 +93,7 @@ def test_bsr_vmem_budget_fallback(monkeypatch):
         op_forced.matvec(x)
 
 
+@pytest.mark.slow
 def test_bsr_through_solver():
     rng = np.random.default_rng(1)
     n, B = 128, 16

@@ -212,6 +212,7 @@ def test_swap_matches_numpy(pairs, i, c11, n11):
     assert np.allclose(np.asarray(Qj), Qn, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_rotate_right_matches_numpy():
     m = 10
     H0 = _quasi_schur(m, 12, (2, 6))
@@ -225,6 +226,7 @@ def test_rotate_right_matches_numpy():
 
 
 @pytest.mark.parametrize("seed", range(3))
+@pytest.mark.slow
 def test_partition_matches_numpy(seed):
     m = 10
     H0 = _quasi_schur(m, seed + 20, (2, 7))
@@ -253,6 +255,7 @@ def test_partition_matches_numpy(seed):
 
 
 @pytest.mark.parametrize("which", ["LM", "SR", "LR"])
+@pytest.mark.slow
 def test_sort_schur_matches_numpy(which):
     m = 9
     H0 = _quasi_schur(m, 33, (1, 5))

@@ -3,6 +3,9 @@ identical RNG => identical matvec counts and matching spectra across the
 integration scenarios, including breakdown, purging, and conjugate pairs."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # m=20 lax.while_loop compiles dominate suite wall-clock
 import jax.numpy as jnp
 import pytest
 

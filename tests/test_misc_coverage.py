@@ -28,6 +28,7 @@ def test_rotate_left_cycles_eigenvalue():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs CPU mesh")
+@pytest.mark.slow
 def test_ell_operator_sharded():
     n = 256
     op = laplacian_1d(n, fmt="ell")

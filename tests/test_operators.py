@@ -106,6 +106,7 @@ def test_function_operator_requires_metadata():
         as_operator(lambda x: x)
 
 
+@pytest.mark.slow
 def test_shift_invert_dense():
     """Shift-invert targeting interior eigenvalues: find the eigenvalues of
     the 1-D Laplacian closest to sigma via LM on (A - sigma I)^{-1}
@@ -124,6 +125,7 @@ def test_shift_invert_dense():
     assert np.allclose(np.sort(lams), np.sort(nearest), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_csr_operator_matvec_and_solve():
     """First-class CSR: exact matvec on irregular row lengths (incl. an
     empty row), ELL round-trip, and end-to-end partial_schur."""
@@ -198,6 +200,7 @@ def test_as_operator_scipy_sparse():
         as_operator(sp.random(6, 7, density=0.5, format="csr"))
 
 
+@pytest.mark.slow
 def test_as_operator_scipy_sparse_complex_cpu():
     """Complex sparse matrices run end-to-end on CPU backends (the
     reference supports any eltype incl. Complex, readme.md:63-69; TPU
@@ -218,6 +221,7 @@ def test_as_operator_scipy_sparse_complex_cpu():
     assert np.linalg.norm(A @ Q - Q @ R) < 1e-6
 
 
+@pytest.mark.slow
 def test_sell_operator():
     """Bucketed ELL (SELL): exact matvec on power-law row lengths with
     empty rows, bounded padding, and end-to-end partial_schur agreement

@@ -25,6 +25,7 @@ def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_sharded_partial_schur_matches_single_device():
     n = 256
     op = laplacian_1d(n)
@@ -47,6 +48,7 @@ def test_sharded_partial_schur_matches_single_device():
     assert len(d1.Q.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_2d_laplacian_residual():
     op = laplacian_2d(16, 16)  # n = 256
     mesh = make_mesh(8)
@@ -81,6 +83,7 @@ def test_uneven_shard_sizes_clear_error():
         shard_operator(op, mesh)
 
 
+@pytest.mark.slow
 def test_smaller_mesh_subset():
     """A mesh over a subset of devices works too."""
     n = 128

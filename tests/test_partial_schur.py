@@ -83,6 +83,7 @@ def test_incorrect_input():
         partial_schur(A, nev=0)
 
 
+@pytest.mark.slow
 def test_integer_matrix_promotes():
     """Integer matrices solve in floating point (ref: :41-45, vtype)."""
     rng = np.random.default_rng(4)

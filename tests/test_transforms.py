@@ -3,6 +3,7 @@ examples (docs/src/index.md:234-352): shift-invert, generalized
 shift-invert, and the B-inner-product Schur decomposition."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from arnoldimethod_tpu import partial_eigen, partial_schur
@@ -118,6 +119,7 @@ def test_chebyshev_filter_matvec_is_polynomial():
     assert np.allclose(got, want, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_estimate_interval_user_recipe():
     """estimate_interval returns a usable damping interval from solver
     outputs only: a is above the wanted band, b bounds the spectrum, and

@@ -101,6 +101,7 @@ def test_complex_solve():
     np.testing.assert_allclose(x, xs, rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_shift_invert_eigenvalues():
     """nev eigenvalues nearest sigma of the reference bench matrix
     (bench/partial_schur.jl:9: n tridiagonal (-1, 2, -1.001)), via
