@@ -290,9 +290,12 @@ class BsrOperator(LinearOperator):
 
         B = self.block_size
         n = self.shape[0]
+        nbc = -(-n // B)
+        if x.shape[0] != nbc * B:  # n not a block multiple: zero-pad x
+            x = jnp.pad(x, (0, nbc * B - x.shape[0]))
         fits_vmem = (
             vmem_resident_bytes(
-                self.block_dataT.shape[0], x.shape[0] // B, B, x.dtype.itemsize
+                self.block_dataT.shape[0], nbc, B, x.dtype.itemsize
             )
             <= VMEM_BUDGET_BYTES
         )
@@ -502,6 +505,53 @@ class CsrOperator(LinearOperator):
             np.asarray(self.indptr), np.asarray(self.indices),
             np.asarray(self.data), self.shape,
         )
+
+    def to_bsr(self, block_size=128, use_pallas=None):
+        """Re-block this matrix into BsrOperator — the format whose Pallas
+        kernel runs at the HBM roofline on TPU (ops/bsr_pallas.py).
+
+        Nonzeros are binned into (block_size x block_size) dense blocks;
+        any block containing at least one nonzero is stored densely, so
+        the value is highest for matrices with clustered structure.  The
+        returned operator reports its zero-fill via `fill_ratio` =
+        stored_nnz / true_nnz; for scattered sparsity (fill_ratio >>
+        ~20-30) prefer `.to_sell()` instead.  The operator keeps the TRUE
+        (n, n) shape — when n is not a block multiple the matvec
+        zero-pads x internally and slices the result, so the spectrum is
+        untouched."""
+        indptr = np.asarray(self.indptr)
+        indices = np.asarray(self.indices)
+        data = np.asarray(self.data)
+        n = self.shape[0]
+        B = block_size
+        nb = -(-n // B)
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+        br, bc = rows // B, indices // B
+        # Unique nonzero blocks per block-row.
+        key = br * nb + bc
+        uniq, inv = np.unique(key, return_inverse=True)
+        ubr, ubc = uniq // nb, uniq % nb
+        counts = np.bincount(ubr, minlength=nb)
+        KB = max(1, int(counts.max()))
+        block_cols = np.zeros((nb, KB), dtype=np.int32)
+        block_data = np.zeros((nb, KB, B, B), dtype=data.dtype)
+        slot_of = np.empty(len(uniq), dtype=np.int64)
+        next_slot = np.zeros(nb, dtype=np.int64)
+        for u, (r, c) in enumerate(zip(ubr, ubc)):
+            s = next_slot[r]
+            slot_of[u] = s
+            block_cols[r, s] = c
+            next_slot[r] = s + 1
+        np.add.at(
+            block_data,
+            (br, slot_of[inv], rows % B, indices % B),
+            data,
+        )
+        op = BsrOperator(
+            block_cols, block_data, (n, n), use_pallas=use_pallas
+        )
+        op.fill_ratio = op.nnz / max(1, self.nnz)
+        return op
 
     def tree_flatten(self):
         children = (self.rows, self.indptr, self.indices, self.data)

@@ -540,6 +540,25 @@ def kernels():
     scale = float(np.max(np.abs(y_be))) or 1.0
     out["kernels_bsr_max_relerr"] = float(f"{errb / scale:.3e}")
     out["kernels_bsr_ok"] = bool(errb / scale < 1e-3)
+
+    # df32 error-free transforms on the REAL TPU compiler: the double-word
+    # kernels depend on products/sums being IEEE-rounded separately; a
+    # Mosaic/XLA:TPU version that contracts FMAs or reassociates would
+    # silently destroy the extended-precision path (docs/precision.md).
+    from arnoldimethod_tpu.ops import df32
+
+    s, e = jax.jit(df32.two_sum)(jnp.float32(3.0), jnp.float32(1e-9))
+    out["kernels_df32_twosum_ok"] = bool(float(e) != 0.0)
+    rng2 = np.random.default_rng(5)
+    xd = rng2.standard_normal(4096).astype(np.float32)
+    yd = rng2.standard_normal(4096).astype(np.float32)
+    dh, dl = jax.jit(df32.df_dot)(jnp.asarray(xd), jnp.asarray(yd))
+    exact = float(np.dot(xd.astype(np.float64), yd.astype(np.float64)))
+    err_df = abs(float(dh) + float(dl) - exact) / float(np.sum(np.abs(xd * yd)))
+    out["kernels_df32_dot_relerr"] = float(f"{err_df:.3e}")
+    out["kernels_df32_ok"] = bool(
+        out["kernels_df32_twosum_ok"] and err_df < 1e-12
+    )
     return out
 
 

@@ -112,3 +112,69 @@ def test_bsr_through_solver():
 def test_bsr_requires_divisible_n():
     with pytest.raises(ValueError):
         dense_to_bsr(np.eye(100), 16)
+
+
+@pytest.mark.parametrize("n,B", [(96, 16), (100, 16), (75, 8)])
+def test_csr_to_bsr_roundtrip(n, B):
+    """CsrOperator.to_bsr re-blocks into the roofline BSR format exactly,
+    including n not a multiple of the block size (x padded internally,
+    spectrum untouched)."""
+    from arnoldimethod_tpu.models.operators import CsrOperator
+
+    rng = np.random.default_rng(9)
+    A = np.zeros((n, n))
+    # clustered sparsity: a band plus a few random blocks
+    for i in range(n):
+        for j in range(max(0, i - 3), min(n, i + 4)):
+            A[i, j] = rng.standard_normal()
+    k = n // 4
+    A[:k, -k:] = rng.standard_normal((k, k))
+    indptr, idx, vals = [0], [], []
+    for i in range(n):
+        nz = np.nonzero(A[i])[0]
+        idx.append(nz.astype(np.int32))
+        vals.append(A[i, nz])
+        indptr.append(indptr[-1] + len(nz))
+    op = CsrOperator(np.asarray(indptr), np.concatenate(idx), np.concatenate(vals), (n, n))
+    bop = op.to_bsr(block_size=B, use_pallas=False)
+    assert bop.shape == (n, n)
+    assert bop.fill_ratio >= 1.0
+    x = rng.standard_normal(n)
+    y = np.asarray(bop.matvec(jnp.asarray(x)))
+    assert y.shape == (n,)
+    assert np.allclose(y, A @ x, atol=1e-10)
+
+    # interpret-mode Pallas agrees too
+    from arnoldimethod_tpu.ops.bsr_pallas import bsr_matvec
+    nbc = -(-n // B)
+    xp = jnp.pad(jnp.asarray(x), (0, nbc * B - n))
+    y_p = np.asarray(bsr_matvec(bop.block_cols, bop.block_dataT, xp, interpret=True))[:n]
+    assert np.allclose(y_p, A @ x, atol=1e-10)
+
+
+def test_csr_to_bsr_through_solver():
+    """End-to-end: an irregular CSR matrix re-blocked to BSR solves to the
+    same spectrum as the CSR original."""
+    from arnoldimethod_tpu.models.operators import CsrOperator
+
+    rng = np.random.default_rng(11)
+    n = 120
+    A = np.diag(np.linspace(1.0, 5.0, n))
+    for _ in range(300):
+        i, j = rng.integers(0, n, 2)
+        A[i, j] += 0.1 * rng.standard_normal()
+    indptr, idx, vals = [0], [], []
+    for i in range(n):
+        nz = np.nonzero(A[i])[0]
+        idx.append(nz.astype(np.int32))
+        vals.append(A[i, nz])
+        indptr.append(indptr[-1] + len(nz))
+    op = CsrOperator(np.asarray(indptr), np.concatenate(idx), np.concatenate(vals), (n, n))
+    bop = op.to_bsr(block_size=32, use_pallas=False)
+    d1, h1 = partial_schur(op, nev=4, which="LM", tol=1e-9)
+    d2, h2 = partial_schur(bop, nev=4, which="LM", tol=1e-9)
+    assert h1.converged and h2.converged
+    assert np.allclose(
+        np.sort_complex(d1.eigenvalues), np.sort_complex(d2.eigenvalues),
+        atol=1e-8,
+    )

@@ -72,6 +72,7 @@ def test_df_norm():
     assert abs((float(nh) + float(nl)) - want) / want < 1e-13
 
 
+@pytest.mark.slow  # 19 growing-shape jit compiles
 def test_df32_cgs2_orthogonality():
     """CGS2 with the basis, coefficients, and updates ALL in double-word
     f32 keeps a 20-vector Krylov basis orthonormal far beyond f32 storage
