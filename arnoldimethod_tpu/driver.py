@@ -361,7 +361,14 @@ def _partial_schur_device(op, ws, mindim, maxdim, nev, tol, restarts, target, ke
         op, ws.V, Hdev, nev, mindim, tol, restarts, key, type(target).__name__,
         active0,
     )
-    Hh = np.asarray(Hd, dtype=ws.H.dtype)
+    # ONE batched readback: on a remote-attached TPU every host transfer
+    # pays a ~20-25 ms round trip, and eight sequential scalar reads here
+    # used to cost more than the entire on-device solve (measured: warm
+    # README solve 283 ms -> ~150 ms with this device_get).
+    Hh, lre, lim, ncv, prods, its, purges, qr_ok = jax.device_get(
+        (Hd, lre, lim, ncv, prods, its, purges, qr_ok)
+    )
+    Hh = np.asarray(Hh, dtype=ws.H.dtype)
     ncv = int(ncv)
     lam = np.asarray(lre, dtype=np.float64) + 1j * np.asarray(lim, dtype=np.float64)
     device_s = _time.perf_counter() - t0
