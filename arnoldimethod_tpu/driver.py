@@ -203,6 +203,7 @@ def partial_schur(
     seed=0,
     sharding=None,
     method=None,
+    extended=False,
 ):
     """Compute an approximate partial Schur decomposition A Q = Q R with
     `nev` eigenvalues near the target `which`.
@@ -232,6 +233,18 @@ def partial_schur(
         is the dominant cost of small/medium solves;
       - None (default) — "device" on TPU backends when eligible,
         "host" otherwise.
+
+    `extended=True` runs the n-sized device work (matvec, Gram-Schmidt,
+    basis changes) in DOUBLE-WORD arithmetic (ops/df_expansion.py): the
+    Krylov basis is an unevaluated hi+lo pair, giving ~eps_work^2
+    effective precision — tolerances down to ~1e-12 with float32 words,
+    i.e. Double64-class convergence on TPU hardware with no float64
+    units (the reference's readme.md:81-99 workflow).  Requires a real
+    dtype and (for full accuracy) an operator implementing
+    `matvec_df(xh, xl)` — DiaOperator (and everything built on it:
+    laplacian_1d, tridiagonal, ...) does.  Forces method="host" (the
+    dense restart layer runs in host float64, far below the double-word
+    noise floor).
     """
     op = as_operator(A, n=n, dtype=dtype)
     n = op.shape[0]
@@ -283,7 +296,13 @@ def partial_schur(
             )
     order_key = get_order(target)
     if tol is None:
-        tol = float(np.sqrt(jnp.finfo(work_dtype).eps))
+        # extended: the double-word noise floor is ~eps^2, so the default
+        # tolerance drops to eps of the single word.
+        tol = (
+            float(jnp.finfo(work_dtype).eps)
+            if extended
+            else float(np.sqrt(jnp.finfo(work_dtype).eps))
+        )
 
     key = jax.random.PRNGKey(seed)
 
@@ -319,6 +338,16 @@ def partial_schur(
             )
 
     is_real = not jnp.issubdtype(work_dtype, jnp.complexfloating)
+    if extended:
+        if not is_real:
+            raise ValueError("extended=True supports real dtypes only")
+        if method == "device":
+            raise ValueError(
+                "extended=True runs the dense layer on host (its float64 is "
+                "below the double-word floor); method='device' is not "
+                "compatible"
+            )
+        method = "host"
     if method is None:
         platform = (
             next(iter(sharding.device_set)).platform
@@ -339,7 +368,8 @@ def partial_schur(
         )
 
     schur, history = _partial_schur(
-        op, ws, mindim, maxdim, nev, tol, restarts, target, order_key, active0, key
+        op, ws, mindim, maxdim, nev, tol, restarts, target, order_key, active0,
+        key, extended=extended,
     )
     return schur, history
 
@@ -391,7 +421,8 @@ def _partial_schur_device(op, ws, mindim, maxdim, nev, tol, restarts, target, ke
     return schur, history
 
 
-def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key, active0, key):
+def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key,
+                   active0, key, extended=False):
     m = maxdim
     # Dense restart kernels: native C++ fast path when the library is built
     # and the workspace fits its scratch buffers; the numpy layer is the
@@ -402,6 +433,10 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
     V = ws.V
     is_real = not np.issubdtype(H.dtype, np.complexfloating)
     eps_work = float(jnp.finfo(ws.dtype).eps)
+    if extended:
+        # Double-word device arithmetic: the criterion floor drops to the
+        # square of the single word's epsilon (ops/df_expansion.py).
+        eps_work = eps_work * eps_work
 
     lams = np.zeros(m, dtype=complex)
     rs = np.zeros(m, dtype=float)
@@ -409,6 +444,21 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
     groups = np.zeros(m, dtype=int)
 
     Hdev = jnp.asarray(H, dtype=ws.dtype)
+    if extended:
+        from .ops.df_expansion import (
+            df_apply_basis_change,
+            df_expand_range,
+            df_set_initial_vector,
+            df_truncate_and_expand,
+            split_f64,
+        )
+
+        Vlo = jnp.zeros_like(V)
+        Hlo = jnp.zeros_like(Hdev)
+        if active0 == 0:
+            # Re-normalize the start vector to double-word accuracy (its
+            # hi word was normalized in single precision).
+            V, Vlo = df_set_initial_vector(V, Vlo, V[0])
 
     import time as _time
 
@@ -425,8 +475,18 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
     # columns (no low-precision round trip of converged data).
     t0 = _time.perf_counter()
     with jax.profiler.TraceAnnotation("arnoldi:expand"):
-        V, Hdev = expand_range(op, V, Hdev, active0, m, jax.random.fold_in(key, 0))
-        Hpull = np.asarray(Hdev, dtype=H.dtype)
+        if extended:
+            V, Vlo, Hdev, Hlo = df_expand_range(
+                op, V, Vlo, Hdev, Hlo, active0, m, jax.random.fold_in(key, 0)
+            )
+            Hpull = np.asarray(Hdev, dtype=H.dtype) + np.asarray(
+                Hlo, dtype=H.dtype
+            )
+        else:
+            V, Hdev = expand_range(
+                op, V, Hdev, active0, m, jax.random.fold_in(key, 0)
+            )
+            Hpull = np.asarray(Hdev, dtype=H.dtype)
     H[:, active0:m] = Hpull[:, active0:m]
     timings["device"] += _time.perf_counter() - t0
 
@@ -526,11 +586,21 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
         # readback of this restart.
         t0 = _time.perf_counter()
         with jax.profiler.TraceAnnotation("arnoldi:truncate_expand"):
-            V, Hdev = truncate_and_expand(
-                op, V, Hdev, jnp.asarray(Qbig, dtype=ws.dtype), k, m,
-                jax.random.fold_in(key, it),
-            )
-            Hpull = np.asarray(Hdev, dtype=H.dtype)
+            if extended:
+                Qh, Ql = split_f64(Qbig, ws.dtype)
+                V, Vlo, Hdev, Hlo = df_truncate_and_expand(
+                    op, V, Vlo, Hdev, Hlo, Qh, Ql, k, m,
+                    jax.random.fold_in(key, it),
+                )
+                Hpull = np.asarray(Hdev, dtype=H.dtype) + np.asarray(
+                    Hlo, dtype=H.dtype
+                )
+            else:
+                V, Hdev = truncate_and_expand(
+                    op, V, Hdev, jnp.asarray(Qbig, dtype=ws.dtype), k, m,
+                    jax.random.fold_in(key, it),
+                )
+                Hpull = np.asarray(Hdev, dtype=H.dtype)
         H[:, k:m] = Hpull[:, k:m]
         prods += m - k
         timings["device"] += _time.perf_counter() - t0
@@ -558,7 +628,10 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
         Qbig = pending_Q @ Qbig
     timings["dense"] += _time.perf_counter() - t0
     t0 = _time.perf_counter()
-    V = apply_basis_change(V, jnp.asarray(Qbig, dtype=ws.dtype))
+    if extended:
+        V, Vlo = df_apply_basis_change(V, Vlo, *split_f64(Qbig, ws.dtype))
+    else:
+        V = apply_basis_change(V, jnp.asarray(Qbig, dtype=ws.dtype))
     timings["device"] += _time.perf_counter() - t0
 
     if nconverged > 0:
@@ -571,6 +644,17 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
 
     history = History(prods, nconverged, nconverged >= nev, nev, restarts=it,
                       purges=purge_events, timings=timings)
+    if extended:
+        # Return Q at full double-word accuracy: one host f64 combine.
+        # (ws.V keeps only the hi word — a warm start resumes at single-
+        # word accuracy, documented in docs/precision.md.)
+        Vfull = np.asarray(V, np.float64) + np.asarray(Vlo, np.float64)
+        schur = PartialSchur(
+            Vfull[:nconverged].T.copy(),
+            H[:nconverged, :nconverged].copy(),
+            lams[:nconverged].copy(),
+        )
+        return schur, history
     schur = PartialSchur(
         V[:nconverged].T,
         H[:nconverged, :nconverged].copy(),

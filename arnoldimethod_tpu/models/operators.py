@@ -144,6 +144,28 @@ class DiaOperator(LinearOperator):
             y = y + self.diags[d] * jax.lax.slice(xp, (lo + off,), (lo + off + n,))
         return y
 
+    def matvec_df(self, xh, xl):
+        """Double-word matvec (yh, yl) = A @ (xh, xl): the same shifted
+        multiply-adds carried in error-free double-word arithmetic
+        (ops/df32.py) — the extended-precision expansion path's operator
+        hook.  ~10x the flops of `matvec`, still elementwise VPU work."""
+        from ..ops import df32
+
+        n = self.shape[0]
+        lo = max(0, -min(self.offsets))
+        hi = max(0, max(self.offsets))
+        xph = jnp.pad(xh, (lo, hi))
+        xpl = jnp.pad(xl, (lo, hi))
+        yh = yl = None
+        for d, off in enumerate(self.offsets):
+            sh = jax.lax.slice(xph, (lo + off,), (lo + off + n,))
+            sl = jax.lax.slice(xpl, (lo + off,), (lo + off + n,))
+            th, tl = df32.df_scale(sh, sl, self.diags[d])
+            yh, yl = (
+                (th, tl) if yh is None else df32.df_add(yh, yl, th, tl)
+            )
+        return yh, yl
+
     def tree_flatten(self):
         return (self.diags,), (self.offsets, self.shape, self.dtype)
 

@@ -112,6 +112,48 @@ def readme_parity():
     }
 
 
+def extended_precision():
+    """Double-word f32 solve on TPU (partial_schur(..., extended=True)):
+    the README config at tol=1e-12 — Double64-class convergence on
+    hardware with no float64 units (reference: readme.md:81-99 reaches
+    tol=1e-28 in Double64 on a CPU; this is the f32-word analogue)."""
+    _jax()
+    import numpy as np
+
+    from arnoldimethod_tpu import partial_schur
+    from arnoldimethod_tpu.models.problems import laplacian_1d
+
+    op = laplacian_1d(100, dtype=np.float32)
+    t0 = time.perf_counter()
+    decomp, history = partial_schur(
+        op, nev=10, which="SR", tol=1e-12, extended=True
+    )
+    wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    decomp, history = partial_schur(
+        op, nev=10, which="SR", tol=1e-12, extended=True
+    )
+    warm = time.perf_counter() - t0
+    A = (
+        np.diag(np.full(100, 2.0))
+        + np.diag(np.full(99, -1.0), 1)
+        + np.diag(np.full(99, -1.0), -1)
+    )
+    Q = np.asarray(decomp.Q, np.float64)
+    R = np.asarray(decomp.R)
+    resid = float(np.linalg.norm(A @ Q - Q @ R))
+    orth = float(np.linalg.norm(Q.T @ Q - np.eye(Q.shape[1])))
+    return {
+        "ext_matvecs": history.mvproducts,
+        "ext_converged": bool(history.converged),
+        "ext_schur_residual": float(f"{resid:.3e}"),
+        "ext_orthonormality": float(f"{orth:.3e}"),
+        "ext_ok": bool(history.converged and resid < 1e-11),
+        "ext_wall_s": round(wall, 2),
+        "ext_wall_warm_s": round(warm, 2),
+    }
+
+
 def _stencil_op(grid, use_pallas=None):
     import jax.numpy as jnp
 
@@ -632,6 +674,7 @@ def bsr():
 
 PHASES = {
     "readme": readme_parity,
+    "extended": extended_precision,
     "bsr": bsr,
     "spmv1m": lambda: spmv(1024, 1000),
     "spmv16m": lambda: spmv(4096, 300, key="spmv_16m"),
@@ -649,6 +692,7 @@ PHASES = {
 # cannot eat the primary metric.
 PHASE_ORDER = [
     "readme",
+    "extended",
     "spmv1m",
     "roofline",
     "kernels",
