@@ -241,6 +241,33 @@ class Stencil5Operator(LinearOperator):
         )
         return y.reshape(ny * nx)
 
+    def matvec_df(self, xh, xl):
+        """Double-word stencil application (extended-precision hook): the
+        five shifted scalar multiplies carried in df arithmetic
+        (ops/df32.py) — the coefficients are exact scalars, so each term
+        is one df_scale and four df_adds per point."""
+        from ..ops import df32
+
+        ny, nx = self.grid
+        c, w, e, no, so = self.coeffs
+        gh = xh.reshape(ny, nx)
+        gl = xl.reshape(ny, nx)
+        gph = jnp.pad(gh, ((1, 1), (1, 1)))
+        gpl = jnp.pad(gl, ((1, 1), (1, 1)))
+        coef = jnp.asarray
+        yh, yl = df32.df_scale(gh, gl, coef(c, dtype=gh.dtype))
+        for cf, sl2 in (
+            (w, (slice(1, -1), slice(None, -2))),
+            (e, (slice(1, -1), slice(2, None))),
+            (no, (slice(None, -2), slice(1, -1))),
+            (so, (slice(2, None), slice(1, -1))),
+        ):
+            th, tl = df32.df_scale(
+                gph[sl2], gpl[sl2], coef(cf, dtype=gh.dtype)
+            )
+            yh, yl = df32.df_add(yh, yl, th, tl)
+        return yh.reshape(ny * nx), yl.reshape(ny * nx)
+
     def tree_flatten(self):
         return (), (self.coeffs, self.grid, self.dtype, self.use_pallas)
 
