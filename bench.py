@@ -322,9 +322,12 @@ def e2e_1m():
 
     op = _stencil_op(1024)
     t0 = time.perf_counter()
-    # method="host": the fused program at maxdim=80 is large, and its first
-    # compile on the remote service can eat the phase budget; the host
-    # path's per-restart round trips are amortized by the large-n matvecs.
+    # method="host": measured r3 — the fused device program at maxdim=80 x
+    # n=1M CRASHES the TPU worker (runtime fault; maxdim=40 runs fine but
+    # that subspace cannot converge this interior-gap problem), so the
+    # host path is the correct configuration here, its per-restart round
+    # trips amortized by the large-n matvecs.  The fused path's at-scale
+    # numbers live in the e2e65k phase.
     decomp, history = partial_schur(
         op, nev=20, which="SR", tol=1e-6, mindim=40, maxdim=80, restarts=400,
         method="host",
