@@ -407,6 +407,7 @@ def _partial_schur_device(op, ws, mindim, maxdim, nev, tol, restarts, target, ke
 
     ws.V = V
     ws.H[:] = Hh
+    ws.Vlo = None  # single-word path: any extended low word is stale now
 
     history = History(
         int(prods),
@@ -448,17 +449,29 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
         from .ops.df_expansion import (
             df_apply_basis_change,
             df_expand_range,
+            df_reorthogonalize_row,
             df_set_initial_vector,
             df_truncate_and_expand,
             split_f64,
         )
 
-        Vlo = jnp.zeros_like(V)
+        # Resume the low word from a previous extended run when available
+        # (warm start at double-word accuracy); rows past the locked
+        # prefix are stale and zeroed either way.
+        prev_lo = getattr(ws, "Vlo", None)
+        if prev_lo is not None and prev_lo.shape == V.shape:
+            Vlo = prev_lo.at[active0:].set(0.0)
+        else:
+            Vlo = jnp.zeros_like(V)
         Hlo = jnp.zeros_like(Hdev)
         if active0 == 0:
             # Re-normalize the start vector to double-word accuracy (its
             # hi word was normalized in single precision).
             V, Vlo = df_set_initial_vector(V, Vlo, V[0])
+        else:
+            # Warm start: the seed row was placed by the single-word path
+            # and is only f32-orthogonal to the locked double-word prefix.
+            V, Vlo = df_reorthogonalize_row(V, Vlo, active0)
 
     import time as _time
 
@@ -611,6 +624,8 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
         # Keep the workspace coherent after every restart so an exception
         # (or a caller-side abort) leaves a resumable state.
         ws.V = V
+        if extended:
+            ws.Vlo = Vlo
 
     nconverged = active
 
@@ -641,13 +656,15 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
             copy_eigenvalues(lams, H[:m, :], 0, nconverged)
 
     ws.V = V
+    # The low word makes the workspace a DOUBLE-WORD checkpoint after an
+    # extended run; a plain solve invalidates it (V moved without lo
+    # tracking).
+    ws.Vlo = Vlo if extended else None
 
     history = History(prods, nconverged, nconverged >= nev, nev, restarts=it,
                       purges=purge_events, timings=timings)
     if extended:
         # Return Q at full double-word accuracy: one host f64 combine.
-        # (ws.V keeps only the hi word — a warm start resumes at single-
-        # word accuracy, documented in docs/precision.md.)
         Vfull = np.asarray(V, np.float64) + np.asarray(Vlo, np.float64)
         schur = PartialSchur(
             Vfull[:nconverged].T.copy(),

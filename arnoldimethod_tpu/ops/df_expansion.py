@@ -188,6 +188,21 @@ def df_set_initial_vector(Vh, Vl, v):
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
+def df_reorthogonalize_row(Vh, Vl, j):
+    """Re-orthogonalize row j against rows [0, j) and renormalize, all in
+    double-word — used on warm starts, where the seed row was placed by
+    the plain single-word path and is only single-word orthogonal to the
+    locked (double-word) prefix."""
+    m1 = Vh.shape[0]
+    mask = jnp.arange(m1) < j
+    wh, wl = Vh[j], Vl[j]
+    _, (wh, wl) = _df_masked_project(Vh, Vl, wh, wl, mask)
+    _, (wh, wl) = _df_masked_project(Vh, Vl, wh, wl, mask)
+    (wh, wl), _ = _df_normalize(wh, wl)
+    return Vh.at[j].set(wh), Vl.at[j].set(wl)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
 def df_set_random_vector(Vh, Vl, j, key):
     m1, n = Vh.shape
     mask = jnp.arange(m1) < j

@@ -54,6 +54,11 @@ class ArnoldiWorkspace:
         if sharding is not None:
             V = jax.device_put(V, sharding)
         self.V = V
+        # Low word of the basis for extended-precision solves
+        # (partial_schur(..., extended=True)): set by the driver after an
+        # extended run so a warm start resumes at double-word accuracy;
+        # None after plain solves (which track only the single-word V).
+        self.Vlo = None
         self.sharding = sharding
 
         host_dtype = (
@@ -83,6 +88,9 @@ class ArnoldiWorkspace:
 
     def save(self, path):
         """Serialize to an .npz file (host-side; V is fetched)."""
+        extra = {}
+        if self.Vlo is not None:
+            extra["Vlo"] = np.asarray(self.Vlo)
         np.savez(
             path,
             V=np.asarray(self.V),
@@ -90,13 +98,14 @@ class ArnoldiWorkspace:
             n=self.n,
             maxdim=self.maxdim,
             dtype=str(self.V.dtype),
+            **extra,
         )
 
     @classmethod
     def load(cls, path, sharding=None):
         """Restore a workspace saved with `save`."""
         with np.load(path, allow_pickle=False) as f:
-            return cls(
+            ws = cls(
                 int(f["n"]),
                 int(f["maxdim"]),
                 dtype=jnp.dtype(str(f["dtype"])),
@@ -104,3 +113,6 @@ class ArnoldiWorkspace:
                 H=f["H"],
                 sharding=sharding,
             )
+            if "Vlo" in f:
+                ws.Vlo = jnp.asarray(f["Vlo"], dtype=ws.dtype)
+            return ws

@@ -106,3 +106,31 @@ def test_extended_stencil_2d():
     assert np.max(np.abs(np.sort(decomp.eigenvalues.real) - exact)) < 1e-8
     Q = np.asarray(decomp.Q, np.float64)
     assert np.linalg.norm(Q.T @ Q - np.eye(4)) < 1e-10
+
+
+def test_extended_warm_start_keeps_double_word_accuracy():
+    """The workspace keeps the basis low word (ws.Vlo) after an extended
+    run, so a warm start (start_from=nconverged) resumes and finishes at
+    double-word accuracy — the reference's partialschur! resume story at
+    Double64-class precision."""
+    from arnoldimethod_tpu import ArnoldiWorkspace
+
+    n = 80
+    op = laplacian_1d(n, dtype=np.float32)
+    ws = ArnoldiWorkspace(n, 20, dtype=np.float32)
+    d1, h1 = partial_schur(op, nev=4, which="SR", tol=1e-11, extended=True,
+                           workspace=ws)
+    assert h1.converged and ws.Vlo is not None
+    d2, h2 = partial_schur(op, nev=8, which="SR", tol=1e-11, extended=True,
+                           workspace=ws, start_from=h1.nconverged)
+    assert h2.converged
+    A = _laplacian_dense(n)
+    Q = np.asarray(d2.Q, np.float64)
+    R = np.asarray(d2.R)
+    assert np.linalg.norm(A @ Q - Q @ R) < 1e-9
+    assert np.linalg.norm(Q.T @ Q - np.eye(Q.shape[1])) < 1e-9
+
+    # A plain solve on the same workspace invalidates the low word.
+    partial_schur(op, nev=4, which="SR", tol=1e-6, workspace=ws,
+                  method="host", start_from=0, initialize=True)
+    assert ws.Vlo is None
