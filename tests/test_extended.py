@@ -134,3 +134,31 @@ def test_extended_warm_start_keeps_double_word_accuracy():
     partial_schur(op, nev=4, which="SR", tol=1e-6, workspace=ws,
                   method="host", start_from=0, initialize=True)
     assert ws.Vlo is None
+
+
+@pytest.mark.slow
+def test_extended_sharded_mesh():
+    """extended=True composes with the row-sharded mesh: GSPMD partitions
+    the double-word kernels (the df products are elementwise; the tree
+    reductions lower to collectives) and the solve reaches double-word
+    residuals distributed."""
+    import jax
+
+    from arnoldimethod_tpu.parallel.mesh import (
+        basis_sharding,
+        make_mesh,
+        shard_operator,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(8)
+    n = 256
+    op = shard_operator(laplacian_1d(n, dtype=np.float32), mesh)
+    d, h = partial_schur(op, nev=4, which="SR", tol=1e-10, extended=True,
+                         sharding=basis_sharding(mesh))
+    assert h.converged
+    A = _laplacian_dense(n)
+    Q = np.asarray(d.Q, np.float64)
+    R = np.asarray(d.R)
+    assert np.linalg.norm(A @ Q - Q @ R) < 1e-11
