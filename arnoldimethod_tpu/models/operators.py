@@ -638,10 +638,14 @@ class ShardedCsrOperator(LinearOperator):
         entries of `source` that `dest`'s nonzeros actually reference —
         is precomputed; the matvec runs ndev-1 `ppermute` rounds, each
         device sending exactly the footprint segment its round-r neighbor
-        needs, and the local column indices are pre-remapped into
-        [x_local | recv_1 | ... | recv_{ndev-1}].  Comm bytes per device
-        are proportional to the footprint, not to n — the property that
-        decides multi-chip SpMV scaling (BASELINE.json:5).
+        needs.  Comm bytes per device are proportional to the footprint,
+        not to n — the property that decides multi-chip SpMV scaling
+        (BASELINE.json:5).  Nonzeros are SPLIT at build time into a
+        local part (columns in the own shard, indexing x_shard directly)
+        and a remote part (columns re-based into the concatenated
+        receive buffers): the local segment_sum has no data dependency on
+        any collective, so the compiler can overlap the permute rounds
+        with the bulk of the compute.
       * gather="all": one tiled all_gather of x (O(n) bytes/device) —
         the fallback when the footprint is dense, and the former default.
 
@@ -649,19 +653,37 @@ class ShardedCsrOperator(LinearOperator):
     per-device receive volume is below half of the all_gather's.
     """
 
-    def __init__(self, rows, cols, data, shape, mesh, send_idx=None,
-                 mode="all"):
+    def __init__(self, arrs, shape, mesh, mode="all"):
+        """arrs: mode "all" -> (rows, cols, data); mode "footprint" ->
+        (rows_l, cols_l, vals_l, rows_r, cols_r, vals_r, send_idx),
+        all (ndev, ...) row-sharded.  Use `build` rather than this."""
         from ..parallel.mesh import ROWS
 
-        self.rows = rows
-        self.cols = cols
-        self.data = data
-        self.send_idx = send_idx
+        self.arrs = tuple(arrs)
         self.shape = tuple(shape)
-        self.dtype = data.dtype
+        self.dtype = (
+            self.arrs[2].dtype if mode == "all" else self.arrs[2].dtype
+        )
         self.mesh = mesh
         self.mode = mode
         self._axis = ROWS
+
+    # mode="all" storage accessors (kept for compatibility/introspection)
+    @property
+    def rows(self):
+        return self.arrs[0]
+
+    @property
+    def cols(self):
+        return self.arrs[1]
+
+    @property
+    def data(self):
+        return self.arrs[2]
+
+    @property
+    def send_idx(self):
+        return self.arrs[6] if self.mode == "footprint" else None
 
     @classmethod
     def build(cls, indptr, indices, data, shape, mesh, dtype=None,
@@ -730,44 +752,77 @@ class ShardedCsrOperator(LinearOperator):
                             continue
                         f = fps[d][s]
                         send_idx_np[s, d, : len(f)] = f - s * n_local
-                # Remap each shard's column indices into the concatenated
-                # local buffer [x_local | recv_r=1 | ... | recv_r=ndev-1],
-                # where round r delivers source s = (d - r) mod ndev.
+                # Split each shard's nonzeros into a LOCAL part (columns
+                # in the own shard, indexing x_shard directly) and a
+                # REMOTE part (columns re-based into the concatenated
+                # receive buffers [recv_r=1 | ... | recv_r=ndev-1], where
+                # round r delivers source s = (d - r) mod ndev).  The
+                # local segment_sum then has no dependency on any
+                # collective, so the permute rounds overlap with it.
+                parts = {"l": [], "r": []}
                 for d in range(ndev):
                     lo, hi = indptr[d * n_local], indptr[(d + 1) * n_local]
-                    k = hi - lo
                     cg = indices[lo:hi].astype(np.int64)
+                    rg = np.repeat(
+                        np.arange(n_local, dtype=np.int32),
+                        row_nnz[d * n_local : (d + 1) * n_local],
+                    )
+                    vg = data[lo:hi]
                     src = cg // n_local
-                    out = np.where(src == d, cg - d * n_local, 0)
+                    is_loc = src == d
+                    out = np.zeros(len(cg), dtype=np.int64)
+                    out[is_loc] = cg[is_loc] - d * n_local
                     for s in range(ndev):
                         if s == d or not (src == s).any():
                             continue
                         sel = src == s
-                        off = n_local + (((d - s) % ndev) - 1) * F
+                        off = (((d - s) % ndev) - 1) * F
                         out[sel] = off + np.searchsorted(fps[d][s], cg[sel])
-                    cols[d, :k] = out
+                    parts["l"].append((rg[is_loc], out[is_loc], vg[is_loc]))
+                    parts["r"].append((rg[~is_loc], out[~is_loc], vg[~is_loc]))
+
+                def pad_part(triples):
+                    kmax = max(1, max(len(t[0]) for t in triples))
+                    pr = np.full((ndev, kmax), n_local - 1, dtype=np.int32)
+                    pc = np.zeros((ndev, kmax), dtype=np.int32)
+                    pv = np.zeros((ndev, kmax), dtype=data.dtype)
+                    for d, (r_, c_, v_) in enumerate(triples):
+                        pr[d, : len(r_)] = r_
+                        pc[d, : len(c_)] = c_
+                        pv[d, : len(v_)] = v_
+                    return pr, pc, pv
+
+                rl, cl, vl = pad_part(parts["l"])
+                rr, cr, vr = pad_part(parts["r"])
+                rowwise = NamedSharding(mesh, P(ROWS, None))
+                arrs = tuple(
+                    jax.device_put(jnp.asarray(a), rowwise)
+                    for a in (rl, cl, vl, rr, cr, vr)
+                ) + (
+                    jax.device_put(
+                        jnp.asarray(send_idx_np),
+                        NamedSharding(mesh, P(ROWS, None, None)),
+                    ),
+                )
+                return cls(arrs, shape, mesh, mode="footprint")
         elif mode == "auto":
             mode = "all"
 
         rowwise = NamedSharding(mesh, P(ROWS, None))
         return cls(
-            jax.device_put(jnp.asarray(rows), rowwise),
-            jax.device_put(jnp.asarray(cols), rowwise),
-            jax.device_put(jnp.asarray(vals), rowwise),
+            tuple(
+                jax.device_put(jnp.asarray(a), rowwise)
+                for a in (rows, cols, vals)
+            ),
             shape,
             mesh,
-            send_idx=(
-                jax.device_put(
-                    jnp.asarray(send_idx_np), NamedSharding(mesh, P(ROWS, None, None))
-                )
-                if send_idx_np is not None
-                else None
-            ),
-            mode=mode,
+            mode="all",
         )
 
     @property
     def nnz(self):
+        if self.mode == "footprint":
+            return int(self.arrs[2].size + self.arrs[5].size)
         return int(self.data.size)
 
     @property
@@ -788,33 +843,41 @@ class ShardedCsrOperator(LinearOperator):
                 for r in range(1, ndev)
             ]
 
-            def local_mv(rows, cols, data, send_tbl, x_shard):
+            def local_mv(rl, cl, vl, rr, cr, vr, send_tbl, x_shard):
                 me = jax.lax.axis_index(axis)
-                bufs = [x_shard]
+                # Issue all permute rounds first; the LOCAL segment_sum
+                # below has no data dependency on them, so the compiler
+                # is free to overlap the communication with it.
+                recvs = []
                 for r in range(1, ndev):
                     dest = (me + r) % ndev
                     idx = jax.lax.dynamic_index_in_dim(
                         send_tbl[0], dest, keepdims=False
                     )
-                    bufs.append(
+                    recvs.append(
                         jax.lax.ppermute(x_shard[idx], axis, perms[r - 1])
                     )
-                x_ext = jnp.concatenate(bufs)
-                prods = data[0] * x_ext[cols[0]]
-                return jax.ops.segment_sum(
-                    prods, rows[0], num_segments=n_local,
+                y = jax.ops.segment_sum(
+                    vl[0] * x_shard[cl[0]], rl[0], num_segments=n_local,
                     indices_are_sorted=True,
                 )
+                x_rem = jnp.concatenate(recvs)
+                y = y + jax.ops.segment_sum(
+                    vr[0] * x_rem[cr[0]], rr[0], num_segments=n_local,
+                    indices_are_sorted=True,
+                )
+                return y
 
             return jax.shard_map(
                 local_mv,
                 mesh=self.mesh,
                 in_specs=(
                     P(axis, None), P(axis, None), P(axis, None),
+                    P(axis, None), P(axis, None), P(axis, None),
                     P(axis, None, None), P(axis),
                 ),
                 out_specs=P(axis),
-            )(self.rows, self.cols, self.data, self.send_idx, x)
+            )(*self.arrs, x)
 
         def local_mv(rows, cols, data, x_shard):
             x_full = jax.lax.all_gather(x_shard, axis, axis=0, tiled=True)
@@ -828,10 +891,10 @@ class ShardedCsrOperator(LinearOperator):
             mesh=self.mesh,
             in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
             out_specs=P(axis),
-        )(self.rows, self.cols, self.data, x)
+        )(*self.arrs, x)
 
     def tree_flatten(self):
-        return (self.rows, self.cols, self.data, self.send_idx), (
+        return (self.arrs,), (
             self.shape,
             self.mesh,
             self.mode,
@@ -840,9 +903,9 @@ class ShardedCsrOperator(LinearOperator):
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
-        obj.rows, obj.cols, obj.data, obj.send_idx = children
+        (obj.arrs,) = children
         obj.shape, obj.mesh, obj.mode = aux
-        obj.dtype = getattr(obj.data, "dtype", None)
+        obj.dtype = getattr(obj.arrs[2], "dtype", None)
         from ..parallel.mesh import ROWS
 
         obj._axis = ROWS

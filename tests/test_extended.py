@@ -39,6 +39,7 @@ def test_extended_f32_reaches_1e12():
     assert np.max(np.abs(np.sort(decomp.eigenvalues.real) - exact)) < 1e-12
 
 
+@pytest.mark.slow
 def test_extended_matches_plain_spectrum():
     """Same eigenvalues as the plain path, just more digits."""
     op = laplacian_1d(64, dtype=np.float32)
@@ -53,6 +54,7 @@ def test_extended_matches_plain_spectrum():
     )
 
 
+@pytest.mark.slow
 def test_extended_fallback_without_matvec_df():
     """Operators without matvec_df still run (two plain matvecs): the
     solve works, floored at the single-word SpMV accuracy."""
@@ -80,6 +82,7 @@ def test_extended_rejects_complex_and_device():
         partial_schur(op2, nev=2, extended=True, method="device")
 
 
+@pytest.mark.slow
 def test_extended_stencil_2d():
     """Stencil5Operator.matvec_df: an anisotropic 2-D Laplacian converges
     to 1e-10 eigenvalue accuracy with f32 words (config-2 matrix family
@@ -108,6 +111,7 @@ def test_extended_stencil_2d():
     assert np.linalg.norm(Q.T @ Q - np.eye(4)) < 1e-10
 
 
+@pytest.mark.slow
 def test_extended_warm_start_keeps_double_word_accuracy():
     """The workspace keeps the basis low word (ws.Vlo) after an extended
     run, so a warm start (start_from=nconverged) resumes and finishes at
