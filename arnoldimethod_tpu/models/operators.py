@@ -661,9 +661,7 @@ class ShardedCsrOperator(LinearOperator):
 
         self.arrs = tuple(arrs)
         self.shape = tuple(shape)
-        self.dtype = (
-            self.arrs[2].dtype if mode == "all" else self.arrs[2].dtype
-        )
+        self.dtype = self.arrs[2].dtype  # vals sit at index 2 in both modes
         self.mesh = mesh
         self.mode = mode
         self._axis = ROWS

@@ -228,7 +228,9 @@ def df_inv(xh, xl):
 
 
 def df_norm(xh, xl):
-    """Double-word 2-norm of a double-word vector: sqrt of the df dot."""
+    """Double-word 2-norm of a double-word vector: sqrt of the df dot.
+    Exactly zero input returns (0, 0) — NOT NaN — so breakdown tests
+    downstream (df_expansion's DGKS) see a true zero."""
     ph, pe = df_mul(xh, xl, xh, xl)
     sh, sl = df_sum(ph, pe)
     # One Newton step refines sqrt(sh) to double-word accuracy:
@@ -236,4 +238,5 @@ def df_norm(xh, xl):
     r = jnp.sqrt(sh)
     r2h, r2e = two_prod(r, r)
     dh, dl = df_add(sh, sl, -r2h, -r2e)
-    return _quick_two_sum(r, (dh + dl) / (2.0 * r))
+    corr = jnp.where(r > 0, (dh + dl) / (2.0 * jnp.where(r > 0, r, 1.0)), 0.0)
+    return _quick_two_sum(r, corr)

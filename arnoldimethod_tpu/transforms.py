@@ -161,8 +161,8 @@ class ChebyshevFilterOperator(LinearOperator):
         self.b = float(b)
         self.degree = int(degree)
         self.scale_point = None if scale_point is None else float(scale_point)
-        self.shape = op.shape
-        self.dtype = op.dtype
+        self.shape = self.op.shape
+        self.dtype = self.op.dtype
 
     def matvec(self, x):
         c = (self.a + self.b) / 2

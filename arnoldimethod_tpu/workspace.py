@@ -114,5 +114,8 @@ class ArnoldiWorkspace:
                 sharding=sharding,
             )
             if "Vlo" in f:
-                ws.Vlo = jnp.asarray(f["Vlo"], dtype=ws.dtype)
+                Vlo = jnp.asarray(f["Vlo"], dtype=ws.dtype)
+                if sharding is not None:
+                    Vlo = jax.device_put(Vlo, sharding)
+                ws.Vlo = Vlo
             return ws

@@ -178,3 +178,15 @@ def test_csr_to_bsr_through_solver():
         np.sort_complex(d1.eigenvalues), np.sort_complex(d2.eigenvalues),
         atol=1e-8,
     )
+
+
+def test_bsr_matvec_rejects_unpacked_operands():
+    """bsr_matvec demands pack_bsr-packed operands; silent truncation of
+    trailing KB slots is a regression this guards against."""
+    from arnoldimethod_tpu.ops.bsr_pallas import bsr_matvec
+
+    rng = np.random.default_rng(0)
+    bc = jnp.asarray(rng.integers(0, 8, (8, 12)).astype(np.int32))
+    bd = jnp.asarray(rng.standard_normal((8, 12, 8, 8)).astype(np.float32))
+    with pytest.raises(ValueError, match="packed"):
+        bsr_matvec(bc, bd, jnp.ones(64, jnp.float32), interpret=True)

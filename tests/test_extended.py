@@ -166,3 +166,23 @@ def test_extended_sharded_mesh():
     Q = np.asarray(d.Q, np.float64)
     R = np.asarray(d.R)
     assert np.linalg.norm(A @ Q - Q @ R) < 1e-11
+
+
+def test_extended_exact_breakdown_reinit():
+    """Exact invariant subspace (v1 = eigenvector of a diagonal matrix):
+    the df DGKS must detect the EXACT zero residual vector as breakdown
+    (df_norm(0) must be 0, not NaN) and reinitialize — regression for a
+    0/0 NaN that crashed the extended path where the plain path worked."""
+    from arnoldimethod_tpu.models.operators import DiaOperator
+
+    n = 32
+    diag = np.linspace(1.0, 4.0, n).astype(np.float32)
+    op = DiaOperator(diag[None, :], (0,), (n, n))
+    e1 = np.zeros(n, np.float32)
+    e1[0] = 1.0
+    d, h = partial_schur(op, nev=2, which="LM", v1=e1, tol=1e-10,
+                         extended=True)
+    assert h.converged and h.nconverged >= 2
+    assert np.allclose(
+        np.sort(d.eigenvalues.real)[-2:], np.sort(diag)[-2:], atol=1e-9
+    )

@@ -7,7 +7,6 @@ import pytest
 
 pytestmark = pytest.mark.slow  # m=20 lax.while_loop compiles dominate suite wall-clock
 import jax.numpy as jnp
-import pytest
 
 from arnoldimethod_tpu import partial_schur
 

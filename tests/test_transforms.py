@@ -175,3 +175,15 @@ def test_chebyshev_scaled_recurrence_matches_unscaled_direction():
     ratio = y_un / y_sc
     assert np.allclose(ratio, ratio[0], rtol=1e-8)
     assert np.max(np.abs(y_sc)) < np.max(np.abs(y_un))  # normalized down
+
+
+def test_chebyshev_wraps_raw_matrices():
+    """ChebyshevFilterOperator accepts raw arrays/lists: shape/dtype come
+    from the WRAPPED operator (regression: they were read off the raw
+    argument, crashing on lists and misreporting scipy dtypes)."""
+    from arnoldimethod_tpu import ChebyshevFilterOperator
+
+    fop = ChebyshevFilterOperator([[2.0, -1.0], [-1.0, 2.0]], 1.0, 4.0, 3)
+    assert fop.shape == (2, 2)
+    y = np.asarray(fop.matvec(jnp.ones(2)))
+    assert y.shape == (2,)
