@@ -436,8 +436,12 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
     eps_work = float(jnp.finfo(ws.dtype).eps)
     if extended:
         # Double-word device arithmetic: the criterion floor drops to the
-        # square of the single word's epsilon (ops/df_expansion.py).
-        eps_work = eps_work * eps_work
+        # square of the single word's epsilon (ops/df_expansion.py) — but
+        # never below the HOST dense layer's float64 epsilon, which the
+        # restart kernels inject into the relation (relevant when the
+        # word itself is float64: double-double device work cannot be
+        # certified past what the f64 dense phase delivers).
+        eps_work = max(eps_work * eps_work, float(np.finfo(H.dtype).eps))
 
     lams = np.zeros(m, dtype=complex)
     rs = np.zeros(m, dtype=float)

@@ -215,12 +215,14 @@ class Stencil5Operator(LinearOperator):
         ny, nx = self.grid
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = (
-                jax.default_backend() == "tpu"
-                and jax.device_count() == 1
-                and ny % 8 == 0
-                and nx % 128 == 0
-            )
+            # Auto = XLA: the fused five-shift elementwise expression now
+            # outruns the Pallas halo-DMA kernel on real hardware
+            # (bench roofline phase, r3: 660 vs 561 Gnnz/s at 1M rows,
+            # 212 vs 197 at 16M) — XLA's fusion of pad+shifts into one
+            # pass improved past the hand-written pipeline.  The Pallas
+            # kernel stays available (use_pallas=True) and validated
+            # (bench `kernels` phase) as the halo-DMA reference.
+            use_pallas = False
         if use_pallas:
             from ..ops.stencil_pallas import stencil5_matvec
 
