@@ -196,12 +196,12 @@ class Stencil5Operator(LinearOperator):
         n = self.grid[0] * self.grid[1]
         self.shape = (n, n)
         self.dtype = jnp.dtype(dtype)
-        # None = auto: the Pallas halo-DMA kernel on a single TPU chip,
-        # XLA elsewhere.  bench.py's `roofline` phase measures both
-        # formulations side by side (roofline_pallas_vs_xla) along with
-        # their fraction of memcpy bandwidth.  Sharded multi-chip runs use
-        # the XLA path (its shifts become halo collectives under GSPMD);
-        # pass use_pallas=False explicitly there.
+        # None = auto: the XLA formulation everywhere (measured faster
+        # than the Pallas halo-DMA kernel — see matvec).  bench.py's
+        # `roofline` phase measures both formulations side by side
+        # (roofline_pallas_vs_xla) along with their fraction of memcpy
+        # bandwidth.  Sharded runs must use XLA (its shifts become halo
+        # collectives under GSPMD).
         self.use_pallas = use_pallas
 
     @property

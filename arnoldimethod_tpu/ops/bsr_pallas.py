@@ -146,7 +146,7 @@ def bsr_matvec(block_cols, block_dataT, x, interpret=False):
     nbr, KB, B, _ = block_dataT.shape
     nbc = x.shape[0] // B
     KC = min(_KC, KB)
-    if KB % KC != 0 or nbr % 8 != 0:
+    if KB == 0 or KB % KC != 0 or nbr % 8 != 0:
         raise ValueError(
             f"bsr_matvec requires packed operands (KB % {KC} == 0, "
             f"nbr % 8 == 0; got KB={KB}, nbr={nbr}) — build them with "
