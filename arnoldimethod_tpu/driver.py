@@ -35,9 +35,11 @@ from .models.operators import as_operator
 from .ops.expansion import (
     apply_basis_change,
     expand_range,
+    expand_range_lowsync,
     set_initial_vector,
     set_random_vector,
     truncate_and_expand,
+    truncate_and_expand_lowsync,
 )
 from .targets import as_target, get_order
 from .workspace import ArnoldiWorkspace
@@ -204,6 +206,7 @@ def partial_schur(
     sharding=None,
     method=None,
     extended=False,
+    lowsync=False,
 ):
     """Compute an approximate partial Schur decomposition A Q = Q R with
     `nev` eigenvalues near the target `which`.
@@ -233,6 +236,13 @@ def partial_schur(
         is the dominant cost of small/medium solves;
       - None (default) — "device" on TPU backends when eligible,
         "host" otherwise.
+
+    `lowsync=True` switches the expansion to the low-synchronization
+    CGS2 variant (ops/expansion.py::expand_range_lowsync_impl): TWO
+    global reductions per Krylov step instead of 3-5 — the latency lever
+    when Gram-Schmidt psums dominate on a large mesh.  Host method only;
+    numerics are plain unconditional CGS2 (final norm via the
+    Pythagorean identity, accurate to O(eps^2)).
 
     `extended=True` runs the n-sized device work (matvec, Gram-Schmidt,
     basis changes) in DOUBLE-WORD arithmetic (ops/df_expansion.py): the
@@ -338,6 +348,15 @@ def partial_schur(
             )
 
     is_real = not jnp.issubdtype(work_dtype, jnp.complexfloating)
+    if lowsync and extended:
+        raise ValueError(
+            "lowsync applies to the plain expansion; extended=True has its "
+            "own (double-word) orthogonalization"
+        )
+    if lowsync and method == "device":
+        raise ValueError("lowsync is a host-method option")
+    if lowsync:
+        method = "host"
     if extended:
         if not is_real:
             raise ValueError("extended=True supports real dtypes only")
@@ -369,7 +388,7 @@ def partial_schur(
 
     schur, history = _partial_schur(
         op, ws, mindim, maxdim, nev, tol, restarts, target, order_key, active0,
-        key, extended=extended,
+        key, extended=extended, lowsync=lowsync,
     )
     return schur, history
 
@@ -423,7 +442,7 @@ def _partial_schur_device(op, ws, mindim, maxdim, nev, tol, restarts, target, ke
 
 
 def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key,
-                   active0, key, extended=False):
+                   active0, key, extended=False, lowsync=False):
     m = maxdim
     # Dense restart kernels: native C++ fast path when the library is built
     # and the workspace fits its scratch buffers; the numpy layer is the
@@ -500,7 +519,8 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
                 Hlo, dtype=H.dtype
             )
         else:
-            V, Hdev = expand_range(
+            _expand = expand_range_lowsync if lowsync else expand_range
+            V, Hdev = _expand(
                 op, V, Hdev, active0, m, jax.random.fold_in(key, 0)
             )
             Hpull = np.asarray(Hdev, dtype=H.dtype)
@@ -613,7 +633,11 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
                     Hlo, dtype=H.dtype
                 )
             else:
-                V, Hdev = truncate_and_expand(
+                _texp = (
+                    truncate_and_expand_lowsync if lowsync
+                    else truncate_and_expand
+                )
+                V, Hdev = _texp(
                     op, V, Hdev, jnp.asarray(Qbig, dtype=ws.dtype), k, m,
                     jax.random.fold_in(key, it),
                 )

@@ -122,6 +122,90 @@ def expand_range_impl(op, V, H, j0, j1, key):
 expand_range = jax.jit(expand_range_impl, donate_argnums=(1, 2))
 
 
+def expand_range_lowsync_impl(op, V, H, j0, j1, key):
+    """Low-synchronization expansion: TWO global reductions per Krylov
+    step instead of the 3-5 of the DGKS path — the latency lever for
+    meshes where the Gram-Schmidt psums dominate (SURVEY §7.3 item 4;
+    cf. the low-synch Gram-Schmidt literature, PAPERS.md).
+
+    Trick: the not-yet-normalized w is stored into the basis's spare row
+    j+1 BEFORE projecting, so the single masked contraction V @ w yields
+    the projection coefficients (rows <= j) AND w's squared norm (row
+    j+1) in one reduction.  Reorthogonalization runs unconditionally
+    (plain CGS2 — at least as robust as conditional DGKS), its reduction
+    again carrying the post-first-pass norm; the final norm comes from
+    the Pythagorean identity ||w2||^2 = ||w1||^2 - ||h2||^2, exact to
+    O(eps^2) because the second-pass coefficients are O(eps)*||w||, so
+    no third reduction is needed.  Breakdown semantics mirror
+    expansion.jl:99-108: declared when the reorthogonalized norm falls
+    below eta * (pre-pass norm).
+    """
+    m1, n = V.shape
+    rows = jnp.arange(m1)
+
+    def body(j, carry):
+        V, H = carry
+        w = op.matvec(V[j])
+        mask = rows <= j
+
+        # Reduction 1: coefficients + ||w||^2 in one contraction.
+        V = V.at[j + 1].set(w)
+        c1 = jnp.matmul(V, w, precision=_PREC)
+        h = jnp.where(mask, c1, 0)
+        rnorm2 = c1[j + 1]
+        w = w - jnp.matmul(h, V, precision=_PREC)
+
+        # Reduction 2: second-pass coefficients + ||w1||^2.
+        V = V.at[j + 1].set(w)
+        c2 = jnp.matmul(V, w, precision=_PREC)
+        h2 = jnp.where(mask, c2, 0)
+        w1norm2 = c2[j + 1]
+        w = w - jnp.matmul(h2, V, precision=_PREC)
+        h = h + h2
+
+        wnorm2 = jnp.maximum(w1norm2 - jnp.vdot(h2, h2, precision=_PREC), 0.0)
+        wnorm = jnp.sqrt(wnorm2)
+        # DGKS breakdown reference: the norm BEFORE the last pass (the
+        # post-first-pass norm w1), exactly as _dgks_orthogonalize's
+        # second-pass branch uses — NOT the original rnorm, which a valid
+        # tiny new direction is legitimately far below.  rnorm2 feeds
+        # nothing else; a first pass that leaves w healthy keeps
+        # wnorm ~ w1norm and never triggers this.
+        del rnorm2
+        breakdown = wnorm <= ETA * jnp.sqrt(jnp.maximum(w1norm2, 0.0))
+
+        def keep(V, H):
+            Hcol = jnp.where(rows == j + 1, wnorm.astype(H.dtype), h)
+            return V.at[j + 1].set(w / wnorm), H.at[:, j].set(Hcol)
+
+        def handle_breakdown(V, H):
+            H = H.at[:, j].set(h)  # H[j+1, j] stays zero: deflation
+
+            def reinit(V):
+                v = _random_unit_vector(
+                    jax.random.fold_in(key, j), n, V.dtype, V, mask
+                )
+                return V.at[j + 1].set(v)
+
+            V = lax.cond(j + 1 < n, reinit, lambda V: V.at[j + 1].set(w), V)
+            return V, H
+
+        return lax.cond(breakdown, handle_breakdown, keep, V, H)
+
+    V, H = lax.fori_loop(j0, j1, body, (V, H))
+    return V, H
+
+
+expand_range_lowsync = jax.jit(expand_range_lowsync_impl, donate_argnums=(1, 2))
+
+
+@partial(jax.jit, donate_argnums=(1, 2))
+def truncate_and_expand_lowsync(op, V, H, Qbig, j0, j1, key):
+    """Low-sync twin of truncate_and_expand."""
+    V = jnp.matmul(Qbig.T, V, precision=_PREC)
+    return expand_range_lowsync_impl(op, V, H, j0, j1, key)
+
+
 @partial(jax.jit, donate_argnums=(1, 2))
 def truncate_and_expand(op, V, H, Qbig, j0, j1, key):
     """One fused device step per restart: the Krylov-Schur truncation

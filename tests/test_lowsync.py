@@ -1,0 +1,95 @@
+"""Low-synchronization CGS2 expansion (partial_schur(..., lowsync=True)):
+two global reductions per Krylov step instead of 3-5, for meshes where
+Gram-Schmidt psum latency dominates.  Checks: solver equivalence with the
+DGKS path, breakdown handling, and the compiled-HLO reduction count."""
+
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from arnoldimethod_tpu import partial_schur
+from arnoldimethod_tpu.models.problems import laplacian_1d
+
+
+def test_lowsync_matches_dgks():
+    """Same matvec counts, same spectrum, same residual quality on the
+    README config (the two orthogonalizations agree to rounding)."""
+    op = laplacian_1d(100)
+    d1, h1 = partial_schur(op, nev=10, which="SR", tol=1e-8, lowsync=True)
+    d2, h2 = partial_schur(op, nev=10, which="SR", tol=1e-8, method="host")
+    assert h1.converged and h2.converged
+    assert h1.mvproducts == h2.mvproducts
+    assert np.allclose(
+        np.sort(d1.eigenvalues.real), np.sort(d2.eigenvalues.real), atol=1e-9
+    )
+    A = (
+        np.diag(np.full(100, 2.0))
+        + np.diag(np.full(99, -1.0), 1)
+        + np.diag(np.full(99, -1.0), -1)
+    )
+    Q = np.asarray(d1.Q, np.float64)
+    R = np.asarray(d1.R)
+    assert np.linalg.norm(A @ Q - Q @ R) < 1e-7
+    assert np.linalg.norm(Q.T @ Q - np.eye(10)) < 1e-9
+
+
+def test_lowsync_breakdown_rank_deficient():
+    """Rank-3 matrix: the Pythagorean-norm breakdown test detects the
+    invariant subspace and reinitializes (reference rank-3 scenario,
+    test/partial_schur.jl:6-27)."""
+    rng = np.random.default_rng(0)
+    U = np.linalg.qr(rng.standard_normal((10, 3)))[0]
+    A = U @ np.diag([5.0, 3.0, 1.5]) @ U.T
+    d, h = partial_schur(A, nev=3, which="LM", tol=1e-9, mindim=3, maxdim=7,
+                         lowsync=True)
+    assert h.converged
+    assert np.allclose(
+        np.sort(d.eigenvalues.real), [1.5, 3.0, 5.0], atol=1e-8
+    )
+
+
+def test_lowsync_rejects_incompatible_modes():
+    op = laplacian_1d(32)
+    with pytest.raises(ValueError, match="extended"):
+        partial_schur(op, nev=2, lowsync=True, extended=True)
+    with pytest.raises(ValueError, match="host-method"):
+        partial_schur(op, nev=2, lowsync=True, method="device")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the CPU mesh")
+def test_lowsync_fewer_all_reduces_in_hlo():
+    """The point of the variant: the compiled sharded expansion contains
+    FEWER all-reduce ops than the DGKS path (2 per step vs 3-5)."""
+    from arnoldimethod_tpu.ops.expansion import (
+        expand_range_impl,
+        expand_range_lowsync_impl,
+    )
+    from arnoldimethod_tpu.parallel.mesh import (
+        basis_sharding,
+        make_mesh,
+        replicated_sharding,
+        shard_operator,
+    )
+
+    mesh = make_mesh(8)
+    n, m = 1024, 20
+    op = shard_operator(laplacian_1d(n), mesh)
+    V = jax.device_put(jnp.zeros((m + 1, n)), basis_sharding(mesh))
+    H = jax.device_put(jnp.zeros((m + 1, m)), replicated_sharding(mesh))
+    key = jax.random.PRNGKey(0)
+
+    def count(fn):
+        txt = (
+            jax.jit(fn)
+            .lower(op, V, H, 4, m, key)
+            .compile()
+            .as_text()
+        )
+        return len(re.findall(r"\ball-reduce\b", txt))
+
+    n_dgks = count(expand_range_impl)
+    n_ls = count(expand_range_lowsync_impl)
+    assert n_ls < n_dgks, (n_ls, n_dgks)
