@@ -93,3 +93,23 @@ def test_lowsync_fewer_all_reduces_in_hlo():
     n_dgks = count(expand_range_impl)
     n_ls = count(expand_range_lowsync_impl)
     assert n_ls < n_dgks, (n_ls, n_dgks)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the CPU mesh")
+def test_lowsync_sharded_solve():
+    """The low-sync expansion runs distributed and matches the exact
+    spectrum (its two reductions are the psums the variant optimizes)."""
+    from arnoldimethod_tpu.parallel.mesh import (
+        basis_sharding,
+        make_mesh,
+        shard_operator,
+    )
+
+    mesh = make_mesh(8)
+    n = 256
+    op = shard_operator(laplacian_1d(n), mesh)
+    d, h = partial_schur(op, nev=4, which="SR", tol=1e-9, lowsync=True,
+                         sharding=basis_sharding(mesh))
+    assert h.converged
+    exact = np.sort(2 - 2 * np.cos(np.pi * np.arange(1, n + 1) / (n + 1)))[:4]
+    assert np.allclose(np.sort(d.eigenvalues.real), exact, atol=1e-8)
