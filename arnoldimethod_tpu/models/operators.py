@@ -726,6 +726,15 @@ class ShardedCsrOperator(LinearOperator):
             vals[r, :k] = data[lo:hi]
 
         mode, send_idx_np = gather, None
+        if mode == "footprint" and ndev == 1:
+            # A single-device mesh has no remote shards, so there is no
+            # footprint to gather; constructing mode="all" behind the
+            # caller's back would make sop.mode lie about what they asked
+            # for (advisor round-3 finding).
+            raise ValueError(
+                "gather='footprint' requires a mesh with >= 2 devices; "
+                "use gather='auto' (or 'all') on a single-device mesh"
+            )
         if mode != "all" and ndev > 1:
             # Column footprints: fps[d][s] = sorted unique global columns
             # of dest shard d that live in source shard s.

@@ -27,6 +27,14 @@ CAUTION: error-free transforms die under value-unsafe compiler rewrites
 ((a + b) - a -> b).  XLA is IEEE-strict on these patterns on CPU and TPU
 today (verified by test_two_sum_exactness, which fails loudly if a
 compiler version regresses this).
+
+MAGNITUDE LIMIT: two_prod's Dekker split multiplies by 2^12 + 1, which
+overflows f32 for |a| > ~8.3e34 (2^127 / 2^12); _pin clamps the overflow
+so the error word is quietly wrong rather than inf.  Operands must stay
+below ~1e34 in magnitude for the extended precision to be meaningful —
+comfortably true for the normalized Krylov bases and Hessenberg entries
+this module serves (everything is O(||A||)).  Pre-scale first if you
+feed it data near the f32 overflow threshold.
 """
 
 from __future__ import annotations

@@ -148,22 +148,27 @@ def expand_range_lowsync_impl(op, V, H, j0, j1, key):
         w = op.matvec(V[j])
         mask = rows <= j
 
-        # Reduction 1: coefficients + ||w||^2 in one contraction.
+        # Reduction 1: coefficients + ||w||^2 in one contraction.  The
+        # conjugate matters twice over: complex projections need <v_i, w>
+        # = conj(v_i).w, and it makes the spare-row entry exactly
+        # conj(w).w = ||w||^2 (real, nonnegative).
         V = V.at[j + 1].set(w)
-        c1 = jnp.matmul(V, w, precision=_PREC)
+        c1 = jnp.matmul(V.conj(), w, precision=_PREC)
         h = jnp.where(mask, c1, 0)
-        rnorm2 = c1[j + 1]
+        rnorm2 = jnp.real(c1[j + 1])
         w = w - jnp.matmul(h, V, precision=_PREC)
 
         # Reduction 2: second-pass coefficients + ||w1||^2.
         V = V.at[j + 1].set(w)
-        c2 = jnp.matmul(V, w, precision=_PREC)
+        c2 = jnp.matmul(V.conj(), w, precision=_PREC)
         h2 = jnp.where(mask, c2, 0)
-        w1norm2 = c2[j + 1]
+        w1norm2 = jnp.real(c2[j + 1])
         w = w - jnp.matmul(h2, V, precision=_PREC)
         h = h + h2
 
-        wnorm2 = jnp.maximum(w1norm2 - jnp.vdot(h2, h2, precision=_PREC), 0.0)
+        wnorm2 = jnp.maximum(
+            w1norm2 - jnp.real(jnp.vdot(h2, h2, precision=_PREC)), 0.0
+        )
         wnorm = jnp.sqrt(wnorm2)
         # DGKS breakdown reference: the norm BEFORE the last pass (the
         # post-first-pass norm w1), exactly as _dgks_orthogonalize's

@@ -113,3 +113,22 @@ def test_lowsync_sharded_solve():
     assert h.converged
     exact = np.sort(2 - 2 * np.cos(np.pi * np.arange(1, n + 1) / (n + 1)))[:4]
     assert np.allclose(np.sort(d.eigenvalues.real), exact, atol=1e-8)
+
+
+def test_lowsync_complex_matrix():
+    """Complex matrices through the lowsync path: the fused contractions
+    must conjugate V (advisor round-3 high finding — without the conj the
+    solve silently returned converged=True with orth error ~15)."""
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((40, 40)) + 1j * rng.standard_normal((40, 40))
+    d1, h1 = partial_schur(A, nev=6, which="LM", tol=1e-9, lowsync=True)
+    d2, h2 = partial_schur(A, nev=6, which="LM", tol=1e-9, method="host")
+    assert h1.converged and h2.converged
+    Q = np.asarray(d1.Q)
+    R = np.asarray(d1.R)
+    assert np.linalg.norm(Q.conj().T @ Q - np.eye(Q.shape[1])) < 1e-8
+    assert np.linalg.norm(A @ Q - Q @ R) < 1e-7 * np.linalg.norm(A)
+    assert np.allclose(
+        np.sort_complex(d1.eigenvalues), np.sort_complex(d2.eigenvalues),
+        atol=1e-7,
+    )
