@@ -1,14 +1,24 @@
-"""Fully on-device Krylov-Schur solve: the restart loop as ONE compiled
-device program.
+"""Fully on-device Krylov-Schur solve: the restart loop as a compiled
+device program, dispatched in bounded-duration chunks.
 
 The host driver (driver.py) keeps the dense restart work on the host and
 pays one host<->device round trip per restart — on a remote-attached TPU
 that round trip (~tens of ms) IS the wall-clock of small and medium
 solves.  This module runs the complete algorithm — Arnoldi expansion,
 Francis QR, Ritz extraction, locking/purging decisions, Sylvester-swap
-partitioning, Hessenberg restoration, truncation — inside a single
+partitioning, Hessenberg restoration, truncation — inside a
 `lax.while_loop` over restarts (dense/device.py kernels), so the only
-transfers are the initial upload and the final readback.
+recurring transfer is ONE scalar `done` flag per chunk of restarts.
+
+Why chunks: a single XLA execution that runs for minutes trips the TPU
+runtime's execution watchdog and kills the worker process (measured on
+v5e: one dispatch covering 250 restarts of the 1M-row config at ~105 s
+survives, 400 restarts at ~160 s reliably crashes with "TPU worker
+process crashed or restarted").  The loop is therefore split into
+dispatches of at most `it_stop - it` restarts, sized adaptively from the
+measured per-restart wall so each dispatch stays well under the limit
+(~40 s target, env-tunable).  Because `it_stop` is a traced scalar, every
+chunk size reuses one compiled program.
 
 Semantics mirror driver._partial_schur restart-for-restart (same
 convergence criterion, same truncation rule, same conjugate-pair and
@@ -23,6 +33,8 @@ Behavioral reference: ArnoldiMethod.jl src/run.jl:224-392 via driver.py.
 
 from __future__ import annotations
 
+import os
+import time
 from functools import partial
 
 import numpy as np
@@ -44,20 +56,44 @@ from .ops.expansion import _PREC, expand_range_impl
 
 __all__ = ["fused_solve"]
 
+# Per-dispatch wall-clock target (seconds).  The v5e worker survives
+# single executions of ~105 s and dies somewhere before ~160 s; 40 s
+# leaves a >2x margin while keeping the number of chunk round-trips
+# (one ~25 ms scalar readback each) negligible.
+_CHUNK_SECONDS = float(os.environ.get("ARNOLDI_TPU_CHUNK_SECONDS", "40"))
+# Restart count of the FIRST dispatch (compile time makes its wall
+# useless for rate estimation, so it is fixed and small-ish).
+_CHUNK_INIT = int(os.environ.get("ARNOLDI_TPU_FUSED_CHUNK", "16"))
+_CHUNK_MAX = 512
 
-@partial(jax.jit, static_argnames=("which", "maxiter_qr"), donate_argnums=(1, 2))
-def fused_solve(op, V, H, nev, mindim, tol, restarts, key, which, active0=0,
-                maxiter_qr=None):
-    """Run the complete Krylov-Schur iteration on device.
 
-    V: (m+1, n) with V[active0] the normalized start vector; for a warm
-    start (active0 > 0) rows [0, active0) hold locked Schur vectors and
-    H's leading columns the locked R block (run.jl:131-179 semantics).
-    H: (m+1, m), columns [active0, m) zero.  Returns (V, H, lam_re,
-    lam_im, nconverged, prods, its, purges, qr_ok) — V/H already
-    truncated and sorted into the target order, eigenvalues of the
-    leading blocks in lam_re/lam_im.
-    """
+@partial(jax.jit, donate_argnums=(1, 2))
+def _fused_init(op, V, H, active0, restarts, key):
+    """Initial expansion straight to maxdim (driver.py does the same);
+    returns the loop-carried state for the first chunk."""
+    m = H.shape[1]
+    active0 = jnp.int32(active0)
+    V, H = expand_range_impl(op, V, H, active0, m, jax.random.fold_in(key, 0))
+    return (
+        V,
+        H,
+        active0,
+        jnp.int32(m) - active0,   # prods
+        jnp.int32(0),             # it
+        jnp.int32(0),             # purges
+        jnp.int32(restarts) <= 0,  # restarts=0: no dense phase (host parity)
+        jnp.asarray(True),        # qr_ok
+    )
+
+
+@partial(jax.jit, static_argnames=("which", "maxiter_qr"),
+         donate_argnums=(1, 2))
+def _fused_chunk(op, V, H, active, prods, it, purges, done, qr_ok,
+                 nev, mindim, tol, restarts, it_stop, key, which,
+                 maxiter_qr=None):
+    """Run restart iterations until converged/exhausted OR `it_stop` is
+    reached (the dispatch-duration bound).  State threads through
+    unchanged shapes, so every chunk reuses one compiled program."""
     m = H.shape[1]
     dtype = H.dtype
     eps = float(jnp.finfo(dtype).eps)
@@ -66,11 +102,8 @@ def fused_solve(op, V, H, nev, mindim, tol, restarts, key, which, active0=0,
     nev = jnp.int32(nev)
     mindim = jnp.int32(mindim)
     restarts = jnp.int32(restarts)
-    active0 = jnp.int32(active0)
+    it_stop = jnp.int32(it_stop)
     tol = jnp.asarray(tol, dtype)
-
-    # Initial expansion straight to maxdim (driver.py does the same).
-    V, H = expand_range_impl(op, V, H, active0, m, jax.random.fold_in(key, 0))
 
     def body(state):
         V, H, active, prods, it, purges, done, qr_ok = state
@@ -164,26 +197,68 @@ def fused_solve(op, V, H, nev, mindim, tol, restarts, key, which, active0=0,
         return V, H, active, prods, it, purges, done, qr_ok
 
     def cond(state):
-        done = state[6]
-        return ~done
+        done, it = state[6], state[4]
+        return ~done & (it < it_stop)
 
-    state0 = (
-        V,
-        H,
-        active0,
-        jnp.int32(m) - active0,
-        jnp.int32(0),
-        jnp.int32(0),
-        restarts <= 0,  # restarts=0: no dense phase at all (host parity)
-        jnp.asarray(True),
+    return lax.while_loop(
+        cond, body, (V, H, active, prods, it, purges, done, qr_ok)
     )
-    V, H, active, prods, it, purges, _, qr_ok = lax.while_loop(cond, body, state0)
 
-    # Final sort into the target order + the corresponding basis change.
+
+@partial(jax.jit, static_argnames=("which",), donate_argnums=(0, 1))
+def _fused_finish(V, H, active, which):
+    """Final sort into the target order + the corresponding basis change
+    + eigenvalue extraction, as one dispatch."""
+    m = H.shape[1]
+    dtype = H.dtype
     Q = jnp.eye(m, dtype=dtype)
     H, Q = sort_schur_jax(H, Q, active, which)
     Qbig = jnp.eye(m + 1, dtype=dtype).at[:m, :m].set(Q)
     V = jnp.matmul(Qbig.T, V, precision=_PREC)
     lam_re, lam_im, _ = eigenvalues_jax(H)
+    return V, H, lam_re, lam_im
 
+
+def fused_solve(op, V, H, nev, mindim, tol, restarts, key, which, active0=0,
+                maxiter_qr=None):
+    """Run the complete Krylov-Schur iteration on device.
+
+    V: (m+1, n) with V[active0] the normalized start vector; for a warm
+    start (active0 > 0) rows [0, active0) hold locked Schur vectors and
+    H's leading columns the locked R block (run.jl:131-179 semantics).
+    H: (m+1, m), columns [active0, m) zero.  Returns (V, H, lam_re,
+    lam_im, nconverged, prods, its, purges, qr_ok) — V/H already
+    truncated and sorted into the target order, eigenvalues of the
+    leading blocks in lam_re/lam_im.
+
+    Host-side wrapper: dispatches the compiled restart loop in bounded
+    chunks (see module docstring) and re-sizes the chunk from the
+    measured per-restart rate; only a scalar `done` crosses the link per
+    chunk until the final readback.
+    """
+    state = _fused_init(op, V, H, active0, restarts, key)
+    done_host = bool(jax.device_get(state[6]))
+    it_host = 0
+    chunk = max(1, _CHUNK_INIT)
+    first = True
+    while not done_host and it_host < restarts:
+        t0 = time.perf_counter()
+        state = _fused_chunk(
+            op, *state, nev, mindim, tol, restarts, it_host + chunk, key,
+            which, maxiter_qr=maxiter_qr,
+        )
+        done_host = bool(jax.device_get(state[6]))  # blocks on the chunk
+        wall = time.perf_counter() - t0
+        if done_host:
+            break
+        it_host += chunk
+        # The first dispatch's wall is dominated by compilation; keep the
+        # chunk small once more so the second (warm) timing sets the rate.
+        if not first:
+            per_restart = max(wall / chunk, 1e-4)
+            chunk = int(min(_CHUNK_MAX, max(8, _CHUNK_SECONDS / per_restart)))
+        first = False
+
+    V, H, active, prods, it, purges, done, qr_ok = state
+    V, H, lam_re, lam_im = _fused_finish(V, H, active, which)
     return V, H, lam_re, lam_im, active, prods, it, purges, qr_ok

@@ -322,12 +322,10 @@ def e2e_1m():
 
     op = _stencil_op(1024)
     t0 = time.perf_counter()
-    # method="host": measured r3 — the fused device program at maxdim=80 x
-    # n=1M CRASHES the TPU worker (runtime fault; maxdim=40 runs fine but
-    # that subspace cannot converge this interior-gap problem), so the
-    # host path is the correct configuration here, its per-restart round
-    # trips amortized by the large-n matvecs.  The fused path's at-scale
-    # numbers live in the e2e65k phase.
+    # method="host" here measures the host-dense restart path; the fused
+    # device path at the same config lives in the e2e1mdev phase (its
+    # round-3 worker crash was a single-dispatch duration limit, fixed by
+    # chunked dispatch in fused.py).
     decomp, history = partial_schur(
         op, nev=20, which="SR", tol=1e-6, mindim=40, maxdim=80, restarts=400,
         method="host",
@@ -370,6 +368,43 @@ def e2e_1m():
         "e2e1m_dense_s": round(history.timings.get("dense", 0.0), 2),
         "e2e1m_lam_min_err": round(
             float(abs(np.min(decomp.eigenvalues.real) - lam_min)), 9
+        ),
+    }
+
+
+def e2e_1m_device():
+    """The fused on-device solver at the config-2 scale (n=1M, nev=20,
+    maxdim=80) — the exact configuration whose single-dispatch execution
+    crashed the TPU worker in round 3.  fused.py now dispatches the
+    restart loop in bounded-duration chunks (~40 s each), so this runs
+    with the DEFAULT method auto-select on TPU."""
+    _jax()
+    import numpy as np
+
+    from arnoldimethod_tpu import partial_schur
+
+    op = _stencil_op(1024)
+    kw = dict(nev=20, which="SR", tol=1e-6, mindim=40, maxdim=80,
+              restarts=400, method="device")
+    t0 = time.perf_counter()
+    decomp, history = partial_schur(op, **kw)
+    np.asarray(decomp.Q[:, :1])
+    wall = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    decomp2, history2 = partial_schur(op, **kw)
+    np.asarray(decomp2.Q[:, :1])
+    warm_wall = time.perf_counter() - t0
+
+    lam_min = 0.130 * (8 - 8 * np.cos(np.pi / 1025))
+    return {
+        "e2e1m_device_wall_s": round(wall, 2),
+        "e2e1m_device_wall_warm_s": round(warm_wall, 2),
+        "e2e1m_device_matvecs": history2.mvproducts,
+        "e2e1m_device_restarts": history2.restarts,
+        "e2e1m_device_converged": bool(history2.converged),
+        "e2e1m_device_lam_min_err": round(
+            float(abs(np.min(decomp2.eigenvalues.real) - lam_min)), 9
         ),
     }
 
@@ -684,6 +719,7 @@ PHASES = {
     "roofline": roofline,
     "e2e65k": e2e_65k_fused,
     "e2e1m": e2e_1m,
+    "e2e1mdev": e2e_1m_device,
     "e2e1mcheb": e2e_1m_cheb,
     "conv": conv_diffusion,
     "shiftinv": shift_invert,
@@ -706,6 +742,7 @@ PHASE_ORDER = [
     "spmvcsr",
     "spmv16m",
     "e2e1mcheb",
+    "e2e1mdev",
     "e2e1m",
 ]
 

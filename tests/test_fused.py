@@ -228,3 +228,24 @@ def test_device_target_non_dominant():
     A = np.diag(dvals)
     d, h = partial_schur(A, which="SR", method="device")
     assert np.all(d.eigenvalues.real <= 10.0)
+
+
+def test_device_chunked_dispatch_resume(monkeypatch):
+    """The restart loop is dispatched in bounded-duration chunks (the TPU
+    worker dies on single executions past ~2 minutes — fused.py module
+    docstring).  Force 1-restart chunks and check the chunk-resume state
+    threading is exact: same matvecs/spectrum as one big dispatch."""
+    from arnoldimethod_tpu import fused
+    from arnoldimethod_tpu.models.problems import laplacian_1d
+
+    op = laplacian_1d(64)
+    d0, h0 = partial_schur(op, nev=6, which="SR", tol=1e-8, method="device")
+    monkeypatch.setattr(fused, "_CHUNK_INIT", 1)
+    monkeypatch.setattr(fused, "_CHUNK_SECONDS", 1e-9)
+    d1, h1 = partial_schur(op, nev=6, which="SR", tol=1e-8, method="device")
+    assert h1.converged
+    assert h1.mvproducts == h0.mvproducts
+    assert h1.restarts == h0.restarts
+    assert np.allclose(
+        np.sort(d1.eigenvalues.real), np.sort(d0.eigenvalues.real), atol=1e-9
+    )
