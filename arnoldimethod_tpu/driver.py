@@ -373,7 +373,17 @@ def partial_schur(
             if sharding is not None
             else jax.local_devices()[0].platform
         )
-        method = "device" if (platform == "tpu" and is_real) else "host"
+        # Measured crossover (docs/profile_1m.md): the fused device path
+        # saves ~2 host round trips per restart (~50 ms on a
+        # remote-attached chip) but pays the on-device masked dense
+        # kernels, whose cost grows ~m^2 per restart.  At maxdim=40 the
+        # device path wins (e2e65k: 1.24x), at maxdim=80 it loses ~2x
+        # (e2e1m vs e2e1mdev) — pick host beyond the midpoint.
+        method = (
+            "device"
+            if (platform == "tpu" and is_real and maxdim <= 60)
+            else "host"
+        )
     if method not in ("host", "device"):
         raise ValueError(f"method must be 'host' or 'device', got {method!r}")
     if method == "device":
