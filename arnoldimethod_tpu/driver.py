@@ -33,12 +33,16 @@ from .dense.swaps import (
 from .dense import native as _native
 from .models.operators import as_operator
 from .ops.expansion import (
+    TILED_THRESHOLD_BYTES,
     apply_basis_change,
+    apply_basis_change_tiled,
     expand_range,
     expand_range_lowsync,
+    pick_tiles,
     set_initial_vector,
     set_random_vector,
     truncate_and_expand,
+    truncate_and_expand_tiled,
     truncate_and_expand_lowsync,
 )
 from .targets import as_target, get_order
@@ -478,6 +482,21 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
     groups = np.zeros(m, dtype=int)
 
     Hdev = jnp.asarray(H, dtype=ws.dtype)
+
+    # Huge single-device bases: the one-GEMM truncation basis change
+    # needs a second V-sized buffer, which at north-star scale (13.5 GB
+    # at m=200, n=16.8M) doubles past HBM — switch to the tiled in-place
+    # change (ops/expansion.py::_tiled_basis_change).  An n-sharded V
+    # keeps the one-GEMM path: per-device shards are small again and the
+    # column tiling would fight the sharding.
+    basis_tiles = 0
+    if (
+        V.size * V.dtype.itemsize > TILED_THRESHOLD_BYTES
+        and getattr(V, "sharding", None) is not None
+        and len(V.sharding.device_set) == 1
+    ):
+        basis_tiles = pick_tiles(n, (m + 1) * V.dtype.itemsize)
+
     if extended:
         from .ops.df_expansion import (
             df_apply_basis_change,
@@ -642,15 +661,22 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
                 Hpull = np.asarray(Hdev, dtype=H.dtype) + np.asarray(
                     Hlo, dtype=H.dtype
                 )
-            else:
-                _texp = (
-                    truncate_and_expand_lowsync if lowsync
-                    else truncate_and_expand
-                )
-                V, Hdev = _texp(
+            elif lowsync:
+                V, Hdev = truncate_and_expand_lowsync(
                     op, V, Hdev, jnp.asarray(Qbig, dtype=ws.dtype), k, m,
                     jax.random.fold_in(key, it),
                 )
+            elif basis_tiles:
+                V, Hdev = truncate_and_expand_tiled(
+                    op, V, Hdev, jnp.asarray(Qbig, dtype=ws.dtype), k, m,
+                    jax.random.fold_in(key, it), tiles=basis_tiles,
+                )
+            else:
+                V, Hdev = truncate_and_expand(
+                    op, V, Hdev, jnp.asarray(Qbig, dtype=ws.dtype), k, m,
+                    jax.random.fold_in(key, it),
+                )
+            if not extended:
                 Hpull = np.asarray(Hdev, dtype=H.dtype)
         H[:, k:m] = Hpull[:, k:m]
         prods += m - k
@@ -683,6 +709,10 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
     t0 = _time.perf_counter()
     if extended:
         V, Vlo = df_apply_basis_change(V, Vlo, *split_f64(Qbig, ws.dtype))
+    elif basis_tiles:
+        V = apply_basis_change_tiled(
+            V, jnp.asarray(Qbig, dtype=ws.dtype), tiles=basis_tiles
+        )
     else:
         V = apply_basis_change(V, jnp.asarray(Qbig, dtype=ws.dtype))
     timings["device"] += _time.perf_counter() - t0

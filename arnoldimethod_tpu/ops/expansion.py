@@ -211,6 +211,56 @@ def truncate_and_expand_lowsync(op, V, H, Qbig, j0, j1, key):
     return expand_range_lowsync_impl(op, V, H, j0, j1, key)
 
 
+def _tiled_basis_change(V, Qbig, tiles):
+    """V <- Qbig^T @ V computed column-tile by column-tile, in place.
+
+    The one-GEMM basis change needs a second V-sized output buffer; at
+    north-star scale ((m+1) x n = 201 x 16.8M f32 = 13.5 GB) that doubles
+    past HBM.  Each output tile depends only on the SAME input tile
+    (columns are independent in Qbig^T V), so a fori_loop of
+    dynamic_slice -> small GEMM -> dynamic_update_slice on the donated V
+    is exact and bounds the extra memory to one (m+1, n/tiles) tile."""
+    m1, n = V.shape
+    T = n // tiles
+
+    def body(i, V):
+        tile = lax.dynamic_slice(V, (0, i * T), (m1, T))
+        new = jnp.matmul(Qbig.T, tile, precision=_PREC)
+        return lax.dynamic_update_slice(V, new, (0, i * T))
+
+    return lax.fori_loop(0, tiles, body, V)
+
+
+# Tile target ~256 MB; tiling kicks in above 2 GB of basis (below that a
+# second buffer is cheap and one big GEMM is fastest).
+_TILE_BYTES = 1 << 28
+TILED_THRESHOLD_BYTES = 1 << 31
+
+
+def pick_tiles(n, row_bytes):
+    """Smallest divisor `tiles` of n with n/tiles * row_bytes <= ~256 MB
+    (0 -> caller should use the untiled path)."""
+    target = max(1, -(-n * row_bytes // _TILE_BYTES))
+    for tiles in range(int(target), n + 1):
+        if n % tiles == 0:
+            return tiles
+    return 1
+
+
+@partial(jax.jit, static_argnames=("tiles",), donate_argnums=(1, 2))
+def truncate_and_expand_tiled(op, V, H, Qbig, j0, j1, key, tiles):
+    """truncate_and_expand for basis arrays too large to double-buffer
+    (single-device only: the column tiling would fight an n-sharding)."""
+    V = _tiled_basis_change(V, Qbig, tiles)
+    return expand_range_impl(op, V, H, j0, j1, key)
+
+
+@partial(jax.jit, static_argnames=("tiles",), donate_argnums=(0,))
+def apply_basis_change_tiled(V, Qbig, tiles):
+    """apply_basis_change, tiled in place (see _tiled_basis_change)."""
+    return _tiled_basis_change(V, Qbig, tiles)
+
+
 @partial(jax.jit, donate_argnums=(1, 2))
 def truncate_and_expand(op, V, H, Qbig, j0, j1, key):
     """One fused device step per restart: the Krylov-Schur truncation
@@ -243,6 +293,36 @@ def set_random_vector(V, j, key):
     _, v = _masked_project(V, v, mask)
     _, v = _masked_project(V, v, mask)
     return V.at[j].set(v / _norm(v))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def orthonormalize_rows(X, key):
+    """Orthonormalize the rows of X (k, n) in place with CGS2/DGKS —
+    the in-house tall-skinny-QR replacement (no jnp.linalg.qr: stays
+    LAPACK-free and, unlike CholeskyQR2, cannot fail on the highly
+    correlated blocks a Chebyshev filter produces).  Rows that fall in
+    the span of earlier rows (breakdown) are replaced with fresh random
+    orthonormal directions, so the result always has full row rank."""
+    k, n = X.shape
+    rows = jnp.arange(k)
+
+    def body(j, X):
+        w = X[j]
+        mask = rows < j
+        w, h, wnorm, refnorm = _dgks_orthogonalize(X, w, mask)
+
+        def keep(X):
+            return X.at[j].set(w / wnorm)
+
+        def reinit(X):
+            v = _random_unit_vector(
+                jax.random.fold_in(key, j), n, X.dtype, X, mask
+            )
+            return X.at[j].set(v)
+
+        return lax.cond(wnorm <= ETA * refnorm, reinit, keep, X)
+
+    return lax.fori_loop(0, k, body, X)
 
 
 @partial(jax.jit, donate_argnums=(0,))

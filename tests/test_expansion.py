@@ -106,3 +106,46 @@ def test_initial_vector_not_mutated_not_normalized():
     V = set_initial_vector(V, v1)
     assert np.isclose(np.linalg.norm(np.asarray(V[0])), 1.0)
     assert np.all(np.asarray(v1) == 3.0)
+
+
+def test_tiled_basis_change_matches_plain():
+    """The tiled in-place basis change (used when V is too large to
+    double-buffer) is exact tile-for-tile vs the one-GEMM path."""
+    import jax
+    import jax.numpy as jnp
+    from arnoldimethod_tpu.ops import expansion as E
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    V = jax.random.normal(k1, (9, 48), dtype=jnp.float32)
+    Qbig = jax.random.normal(k2, (9, 9), dtype=jnp.float32)
+    ref = E.apply_basis_change(jnp.array(V), jnp.array(Qbig))
+    for tiles in (1, 2, 4, 48):
+        out = E.apply_basis_change_tiled(jnp.array(V), Qbig, tiles=tiles)
+        assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_pick_tiles_divides():
+    from arnoldimethod_tpu.ops.expansion import pick_tiles
+
+    for n in (1 << 24, 10_240_000, 96):
+        t = pick_tiles(n, 201 * 4)
+        assert n % t == 0
+        assert n // t * 201 * 4 <= (1 << 28) or t == n
+
+
+def test_driver_tiled_threshold_solve(monkeypatch):
+    """Force the tiled path through the full driver and check solver
+    equivalence with the plain path (same matvecs, same spectrum)."""
+    from arnoldimethod_tpu import driver
+    from arnoldimethod_tpu.models.problems import laplacian_1d
+    from arnoldimethod_tpu import partial_schur
+
+    op = laplacian_1d(96)
+    d0, h0 = partial_schur(op, nev=6, which="SR", tol=1e-8, method="host")
+    monkeypatch.setattr(driver, "TILED_THRESHOLD_BYTES", 1)
+    d1, h1 = partial_schur(op, nev=6, which="SR", tol=1e-8, method="host")
+    assert h1.converged
+    assert h1.mvproducts == h0.mvproducts
+    assert np.allclose(
+        np.sort(d1.eigenvalues.real), np.sort(d0.eigenvalues.real), atol=1e-9
+    )

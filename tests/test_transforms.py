@@ -187,3 +187,69 @@ def test_chebyshev_wraps_raw_matrices():
     assert fop.shape == (2, 2)
     y = np.asarray(fop.matvec(jnp.ones(2)))
     assert y.shape == (2,)
+
+
+def test_dense_eig_host_matches_lapack():
+    """The in-house _dense_eig_host (Hessenberg + Francis QR +
+    quasi-triangular eigenvectors) vs np.linalg.eig as oracle, real and
+    complex, including conjugate pairs."""
+    from arnoldimethod_tpu.transforms import _dense_eig_host
+
+    rng = np.random.default_rng(11)
+    for S in [
+        rng.standard_normal((12, 12)),
+        rng.standard_normal((7, 7)) + 1j * rng.standard_normal((7, 7)),
+        np.diag(np.arange(1.0, 6.0)),
+    ]:
+        w, V = _dense_eig_host(S)
+        wref = np.linalg.eigvals(S)
+        assert np.allclose(
+            np.sort_complex(np.asarray(w, complex)), np.sort_complex(wref),
+            atol=1e-8 * (1 + np.abs(wref).max()),
+        )
+        R = S @ V - V * w[None, :]
+        assert np.linalg.norm(R) < 1e-7 * (1 + np.abs(wref).max())
+
+
+def test_orthonormalize_rows():
+    """In-house tall-skinny QR replacement: orthonormal rows spanning the
+    input row space; rank-deficient rows replaced with fresh directions."""
+    import jax
+    import jax.numpy as jnp
+    from arnoldimethod_tpu.ops.expansion import orthonormalize_rows
+
+    rng = np.random.default_rng(5)
+    X = jnp.asarray(rng.standard_normal((6, 40)), jnp.float32)
+    Q = np.asarray(orthonormalize_rows(jnp.array(X), jax.random.PRNGKey(0)))
+    assert np.linalg.norm(Q @ Q.T - np.eye(6)) < 1e-5
+    # row space preserved: each original row is in span(Q)
+    Xn = np.asarray(X)
+    proj = Xn - (Xn @ Q.T) @ Q
+    assert np.linalg.norm(proj) < 1e-4 * np.linalg.norm(Xn)
+
+    # rank-deficient: duplicate rows -> still orthonormal output
+    Xd = np.vstack([Xn[:3], Xn[:3]])
+    Qd = np.asarray(
+        orthonormalize_rows(jnp.asarray(Xd, jnp.float32), jax.random.PRNGKey(1))
+    )
+    assert np.linalg.norm(Qd @ Qd.T - np.eye(6)) < 1e-4
+
+
+def test_rayleigh_ritz_chunked_options():
+    """rows_layout / return_vectors / chunk options agree with the plain
+    column API on a symmetric operator."""
+    from arnoldimethod_tpu import rayleigh_ritz
+    from arnoldimethod_tpu.models.problems import laplacian_1d
+    import jax.numpy as jnp
+
+    op = laplacian_1d(60)
+    rng = np.random.default_rng(2)
+    Q, _ = np.linalg.qr(rng.standard_normal((60, 8)))
+    Qd = jnp.asarray(Q, jnp.float32)
+    w0, X0, r0 = rayleigh_ritz(op, Qd)
+    w1, X1, r1 = rayleigh_ritz(op, Qd.T, rows_layout=True, chunk=3)
+    w2, X2, r2 = rayleigh_ritz(op, Qd, return_vectors=False)
+    assert X2 is None
+    assert np.allclose(w0, w1, atol=1e-5) and np.allclose(w0, w2, atol=1e-5)
+    assert np.allclose(r0, r1, atol=1e-4) and np.allclose(r0, r2, atol=1e-4)
+    assert np.allclose(np.abs(np.asarray(X1).T), np.abs(np.asarray(X0)), atol=1e-4)
