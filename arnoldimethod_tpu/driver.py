@@ -16,6 +16,8 @@ final sort :459-502, residuals :519-545).
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
 import jax
@@ -33,6 +35,7 @@ from .dense.swaps import (
 from .dense import native as _native
 from .models.operators import as_operator
 from .ops.expansion import (
+    DISPATCH_BUDGET_S,
     TILED_THRESHOLD_BYTES,
     apply_basis_change,
     apply_basis_change_tiled,
@@ -111,16 +114,44 @@ class PartialSchur:
     (n, nconverged) device array, R the (nconverged, nconverged) host
     quasi-upper-triangular factor, and `eigenvalues` the complex-valued
     diagonal-block eigenvalues (always complex-typed, ref:
-    ArnoldiMethod.jl:120-137)."""
+    ArnoldiMethod.jl:120-137).
 
-    def __init__(self, Q, R, eigenvalues):
-        self.Q = Q
+    The basis is held in the solver's natural ROWS layout (nconverged, n)
+    — n on the TPU lane axis — and `Q` materializes the (n, nconverged)
+    columns view lazily on first access: at north-star scale (100 x 10M)
+    the columns copy is 4+ GB and every skinny matmul against it pads the
+    100-wide minor dim to 128 lanes (a measured 5 GB hidden copy), so
+    memory-conscious callers should use `Q_rows` (rayleigh_ritz accepts
+    it via rows_layout=True)."""
+
+    def __init__(self, Q, R, eigenvalues, Q_rows=None):
+        if (Q is None) == (Q_rows is None):
+            raise ValueError("exactly one of Q / Q_rows must be given")
+        self._Q = Q
+        self._Q_rows = Q_rows
         self.R = R
         self.eigenvalues = eigenvalues
 
+    @property
+    def Q(self):
+        if self._Q is None:
+            self._Q = self._Q_rows.T
+        return self._Q
+
+    @property
+    def Q_rows(self):
+        if self._Q_rows is None:
+            self._Q_rows = self._Q.T
+        return self._Q_rows
+
+    @property
+    def _qshape(self):
+        q = self._Q_rows if self._Q is None else self._Q
+        return tuple(q.shape[::-1]) if self._Q is None else tuple(q.shape)
+
     def __repr__(self):
         return (
-            f"PartialSchur decomposition (Q: {tuple(self.Q.shape)}, "
+            f"PartialSchur decomposition (Q: {self._qshape}, "
             f"R: {tuple(self.R.shape)}) with eigenvalues:\n"
             + repr(self.eigenvalues)
         )
@@ -451,7 +482,9 @@ def _partial_schur_device(op, ws, mindim, maxdim, nev, tol, restarts, target, ke
         purges=int(purges),
         timings={"device": device_s, "dense": 0.0},
     )
-    schur = PartialSchur(V[:ncv].T, Hh[:ncv, :ncv].copy(), lam[:ncv].copy())
+    schur = PartialSchur(
+        None, Hh[:ncv, :ncv].copy(), lam[:ncv].copy(), Q_rows=V[:ncv]
+    )
     return schur, history
 
 
@@ -532,6 +565,43 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
     purge_events = 0
     timings = {"device": 0.0, "dense": 0.0}
 
+    # Bound the device's CONTINUOUS execution time during expansions: the
+    # TPU runtime kills the worker when execution runs for minutes
+    # without a host sync (fused.py module docstring), and a maxdim-step
+    # expansion over an expensive operator (a degree-1000 Chebyshev
+    # filter at n=10M is ~200k SpMVs) blows far past that.  Long ranges
+    # are dispatched in slices with a 4-byte sync readback in between
+    # (the sync is what resets the watchdog — back-to-back queued
+    # dispatches do NOT); slice sizes start from a static cost model and
+    # are refined from each measured slice.  Ordinary problems take one
+    # slice and pay nothing.
+    est_step = [
+        (
+            op.matvec_cost_hint()
+            + 4.0 * (m + 1) * n * np.dtype(ws.dtype).itemsize / 8.0e11
+        ) * (3.0 if extended else 1.0)
+    ]
+
+    def _run_sliced(dispatch, j0, sync):
+        """dispatch(a, b) advances the expansion arrays over [a, b);
+        sync() forces execution of everything queued (tiny readback)."""
+        j = j0
+        first = True
+        while j < m:
+            budget = DISPATCH_BUDGET_S * (0.5 if first else 1.0)
+            steps = max(1, min(m - j, int(budget / max(est_step[0], 1e-9))))
+            t0 = _time.perf_counter()
+            dispatch(j, j + steps)
+            j += steps
+            if j < m:
+                sync()
+                dt = _time.perf_counter() - t0
+                # The first slice's wall includes compilation, inflating
+                # the estimate — that errs SMALL on the next slice and
+                # self-corrects from its measurement.
+                est_step[0] = max(dt / steps, 1e-9)
+            first = False
+
     # Initial expansion straight to a maxdim-sized relation (the reference
     # stops at mindim first, but nothing happens in between — run.jl:260-275
     # — so one dispatch does both).  H transfers are always full-array
@@ -540,18 +610,26 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
     # columns (no low-precision round trip of converged data).
     t0 = _time.perf_counter()
     with jax.profiler.TraceAnnotation("arnoldi:expand"):
+        key0 = jax.random.fold_in(key, 0)
         if extended:
-            V, Vlo, Hdev, Hlo = df_expand_range(
-                op, V, Vlo, Hdev, Hlo, active0, m, jax.random.fold_in(key, 0)
-            )
+            def _disp0(a0, b0):
+                nonlocal V, Vlo, Hdev, Hlo
+                V, Vlo, Hdev, Hlo = df_expand_range(
+                    op, V, Vlo, Hdev, Hlo, a0, b0, key0
+                )
+
+            _run_sliced(_disp0, active0, lambda: np.asarray(Hdev[:1, :1]))
             Hpull = np.asarray(Hdev, dtype=H.dtype) + np.asarray(
                 Hlo, dtype=H.dtype
             )
         else:
             _expand = expand_range_lowsync if lowsync else expand_range
-            V, Hdev = _expand(
-                op, V, Hdev, active0, m, jax.random.fold_in(key, 0)
-            )
+
+            def _disp0(a0, b0):
+                nonlocal V, Hdev
+                V, Hdev = _expand(op, V, Hdev, a0, b0, key0)
+
+            _run_sliced(_disp0, active0, lambda: np.asarray(Hdev[:1, :1]))
             Hpull = np.asarray(Hdev, dtype=H.dtype)
     H[:, active0:m] = Hpull[:, active0:m]
     timings["device"] += _time.perf_counter() - t0
@@ -652,31 +730,49 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
         # readback of this restart.
         t0 = _time.perf_counter()
         with jax.profiler.TraceAnnotation("arnoldi:truncate_expand"):
+            keyit = jax.random.fold_in(key, it)
+            # The first slice carries the truncation basis change; any
+            # further slices are plain expansions of the remaining range.
             if extended:
                 Qh, Ql = split_f64(Qbig, ws.dtype)
-                V, Vlo, Hdev, Hlo = df_truncate_and_expand(
-                    op, V, Vlo, Hdev, Hlo, Qh, Ql, k, m,
-                    jax.random.fold_in(key, it),
-                )
+
+                def _dispt(a0, b0):
+                    nonlocal V, Vlo, Hdev, Hlo
+                    if a0 == k:
+                        V, Vlo, Hdev, Hlo = df_truncate_and_expand(
+                            op, V, Vlo, Hdev, Hlo, Qh, Ql, a0, b0, keyit
+                        )
+                    else:
+                        V, Vlo, Hdev, Hlo = df_expand_range(
+                            op, V, Vlo, Hdev, Hlo, a0, b0, keyit
+                        )
+
+                _run_sliced(_dispt, k, lambda: np.asarray(Hdev[:1, :1]))
                 Hpull = np.asarray(Hdev, dtype=H.dtype) + np.asarray(
                     Hlo, dtype=H.dtype
                 )
-            elif lowsync:
-                V, Hdev = truncate_and_expand_lowsync(
-                    op, V, Hdev, jnp.asarray(Qbig, dtype=ws.dtype), k, m,
-                    jax.random.fold_in(key, it),
-                )
-            elif basis_tiles:
-                V, Hdev = truncate_and_expand_tiled(
-                    op, V, Hdev, jnp.asarray(Qbig, dtype=ws.dtype), k, m,
-                    jax.random.fold_in(key, it), tiles=basis_tiles,
-                )
             else:
-                V, Hdev = truncate_and_expand(
-                    op, V, Hdev, jnp.asarray(Qbig, dtype=ws.dtype), k, m,
-                    jax.random.fold_in(key, it),
-                )
-            if not extended:
+                Qdev = jnp.asarray(Qbig, dtype=ws.dtype)
+                if lowsync:
+                    _texp, _expand = (
+                        truncate_and_expand_lowsync, expand_range_lowsync
+                    )
+                elif basis_tiles:
+                    _texp = partial(
+                        truncate_and_expand_tiled, tiles=basis_tiles
+                    )
+                    _expand = expand_range
+                else:
+                    _texp, _expand = truncate_and_expand, expand_range
+
+                def _dispt(a0, b0):
+                    nonlocal V, Hdev
+                    if a0 == k:
+                        V, Hdev = _texp(op, V, Hdev, Qdev, a0, b0, keyit)
+                    else:
+                        V, Hdev = _expand(op, V, Hdev, a0, b0, keyit)
+
+                _run_sliced(_dispt, k, lambda: np.asarray(Hdev[:1, :1]))
                 Hpull = np.asarray(Hdev, dtype=H.dtype)
         H[:, k:m] = Hpull[:, k:m]
         prods += m - k
@@ -741,8 +837,9 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
         )
         return schur, history
     schur = PartialSchur(
-        V[:nconverged].T,
+        None,
         H[:nconverged, :nconverged].copy(),
         lams[:nconverged].copy(),
+        Q_rows=V[:nconverged],
     )
     return schur, history

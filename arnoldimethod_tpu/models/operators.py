@@ -43,6 +43,18 @@ class LinearOperator:
     def matvec(self, x):
         raise NotImplementedError
 
+    def matvec_cost_hint(self):
+        """Rough estimate of one matvec's device seconds — used by the
+        driver to bound the duration of a single expansion dispatch (a
+        single XLA execution that runs for minutes kills the TPU worker;
+        fused.py module docstring).  Order-of-magnitude accuracy is all
+        that is needed.  Default model: ~6 n-sized HBM passes at the v5e
+        memcpy rate; operators whose matvec is much heavier (polynomial
+        filters, shift-invert solves) override this."""
+        n = self.shape[0]
+        item = np.dtype(self.dtype).itemsize
+        return 6.0 * n * item / 8.0e11
+
     def __matmul__(self, x):
         return self.matvec(x)
 
@@ -60,6 +72,10 @@ class DenseOperator(LinearOperator):
         # Full-precision accumulation: TPU f32 matmuls default to bf16
         # passes, which is not accurate enough for an eigensolver's matvec.
         return jnp.matmul(self.A, x, precision=jax.lax.Precision.HIGHEST)
+
+    def matvec_cost_hint(self):
+        n = self.shape[0]
+        return n * n * np.dtype(self.dtype).itemsize / 8.0e11
 
     def tree_flatten(self):
         return (self.A,), (self.shape, self.dtype)

@@ -26,6 +26,15 @@ from jax import lax
 
 ETA = 0.7071067811865476  # sqrt(2)/2, the ARPACK DGKS constant
 
+# Wall-clock budget for ONE expansion dispatch: a single XLA execution
+# that runs for minutes trips the TPU runtime watchdog and kills the
+# worker (measured ~105 s survives, ~160 s dies on v5e — fused.py).  The
+# driver slices long expansions into dispatches predicted to stay under
+# this (pipelined back-to-back, no readbacks between slices).
+import os as _os
+
+DISPATCH_BUDGET_S = float(_os.environ.get("ARNOLDI_TPU_CHUNK_SECONDS", "40"))
+
 # Orthogonalization accuracy is what the whole algorithm stands on: on TPU,
 # float32 matmuls default to bfloat16 MXU passes, which destroys the basis
 # orthogonality (residuals degrade from ~1e-6 to ~1e-2).  All projection /

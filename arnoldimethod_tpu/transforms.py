@@ -167,6 +167,13 @@ class ChebyshevFilterOperator(LinearOperator):
         self.shape = self.op.shape
         self.dtype = self.op.dtype
 
+    def matvec_cost_hint(self):
+        # One filtered matvec = `degree` applications of the inner op:
+        # the driver uses this to slice long expansion dispatches (a
+        # 200-step expansion at degree 1000 is ~200k SpMVs — far past
+        # the single-execution watchdog without slicing).
+        return self.degree * self.op.matvec_cost_hint()
+
     def matvec(self, x):
         c = (self.a + self.b) / 2
         e = (self.b - self.a) / 2
@@ -260,7 +267,9 @@ def estimate_interval(A, nev, maxdim=None, safety=3.0, seed=0, b_iters=30,
     standard ChebFSI bootstrap.  Each round costs ~(nev+5)*refine_degree
     streaming matvecs inside a handful of dispatches.
 
-    Cost: b_iters + m + refine*(nev+5)*refine_degree matvecs.
+    Cost: b_iters + m + (nev+5)*sum(degrees) matvecs, where degrees is
+    `refine` rounds of `refine_degree` — or pass a sequence as
+    refine_degree for a per-round ramp (then `refine` is ignored).
     Recipe: docs/transforms.md.
     """
     import collections
@@ -268,7 +277,7 @@ def estimate_interval(A, nev, maxdim=None, safety=3.0, seed=0, b_iters=30,
     import numpy as np
 
     from .ops.expansion import (
-        expand_range_impl,
+        expand_range,
         orthonormalize_rows,
         set_initial_vector,
     )
@@ -276,13 +285,19 @@ def estimate_interval(A, nev, maxdim=None, safety=3.0, seed=0, b_iters=30,
     Interval = collections.namedtuple("Interval", ["a", "b", "lo"])
     op = as_operator(A)
     b = power_bound(op, iters=b_iters, seed=seed)
-    m = int(maxdim or min(max(2 * nev + 10, 30), op.shape[0]))
+    # The coarse pass only seeds (lo, theta) for the ChebFSI refinement,
+    # so cap its subspace at 160: past that the (m+1, n) basis and its
+    # compile dominate estimate_interval's cost for large nev while the
+    # refinement quality is set by `refine`/`refine_degree`, not m.
+    m = int(maxdim or min(max(2 * nev + 10, 30), 160, op.shape[0]))
     n = op.shape[0]
     key = jax.random.PRNGKey(seed)
     V = jnp.zeros((m + 1, n), dtype=op.dtype)
     H = jnp.zeros((m + 1, m), dtype=op.dtype)
     V = set_initial_vector(V, jax.random.normal(key, (n,), dtype=op.dtype))
-    V, H = expand_range_impl(op, V, H, 0, m, key)
+    # The jitted, V-donating expansion: at nev=100 scale the coarse basis
+    # is ~8.6 GB, so an undonated (input + output) pair would not fit HBM.
+    V, H = expand_range(op, V, H, 0, m, key)
     Hs = np.asarray(H[:m, :m], np.float64)
     del V, H  # at nev=100 scale the coarse basis is ~8.6 GB — free it now
     _, _, w0 = _schur_of_hessenberg(Hs)
@@ -303,11 +318,21 @@ def estimate_interval(A, nev, maxdim=None, safety=3.0, seed=0, b_iters=30,
     # do not batch, and sequential filtered matvecs inside one dispatch
     # are exactly as HBM-bound as a batched one would be.
     filt = jax.jit(lambda fop, X: lax.map(fop.matvec, X))
-    for r in range(refine):
-        fop = ChebyshevFilterOperator(op, a, b, refine_degree, scale_point=lo)
+    # refine_degree: one degree for every round, or a per-round schedule
+    # (a ramp like (100, 200, 400, 400) spends little while the interval
+    # is still coarse and the filter separates poorly, and the full
+    # degree once the edges are near their targets).
+    degrees = (
+        [int(refine_degree)] * refine
+        if np.isscalar(refine_degree)
+        else [int(d) for d in refine_degree]
+    )
+    for r, deg_r in enumerate(degrees):
+        fop = ChebyshevFilterOperator(op, a, b, deg_r, scale_point=lo)
         Q = orthonormalize_rows(filt(fop, X), jax.random.fold_in(key, 2 + r))
         w, _, _ = rayleigh_ritz(op, Q, rows_layout=True,
-                                return_vectors=False)
+                                return_vectors=False,
+                                compute_residuals=False)
         w = np.sort(np.asarray(w).real)
         lo, theta = min(lo, w[0]), w[min(nev, k) - 1]
         a = edge(lo, theta)
@@ -397,7 +422,8 @@ def _dense_eig_host(S):
     return w, V / nrm
 
 
-def rayleigh_ritz(A, Q, chunk=16, return_vectors=True, rows_layout=False):
+def rayleigh_ritz(A, Q, chunk=16, return_vectors=True, rows_layout=False,
+                  compute_residuals=True):
     """Eigenvalues of A restricted to the (filtered-solve) basis Q: solve
     the small dense eigenproblem of Q^H A Q and return (values, vectors,
     residual_norms) with vectors = Q @ S rotated into A's eigenbasis.
@@ -413,22 +439,49 @@ def rayleigh_ritz(A, Q, chunk=16, return_vectors=True, rows_layout=False):
     import numpy as np
 
     op = as_operator(A)
-    Qr = Q if rows_layout else Q.T  # (k, n) rows of the basis
-    k = Qr.shape[0]
+    k = Q.shape[0] if rows_layout else Q.shape[1]
     prec = jax.lax.Precision.HIGHEST
+    dtype = Q.dtype
 
     mv_rows = jax.jit(lambda X: lax.map(op.matvec, X))
 
-    @jax.jit
-    def _s_chunk(Qr, Xc):
-        return jnp.matmul(Qr.conj(), mv_rows(Xc).T, precision=prec)
+    # Layout-native projections: NO full-basis transpose is ever
+    # materialized (Q is ~4 GB at north-star scale and a Q.T copy was a
+    # measured OOM); only (chunk, n) slices move.
+    # The contractions below are written so the huge axis n stays the
+    # LANE (minor) axis of every large operand: a transposed or (n, k)
+    # minor-dim operand makes XLA pad k up to 128 lanes, which at
+    # north-star scale (k=100, n=10M) is a hidden 5 GB copy — a measured
+    # OOM.  The rows layout never pads; the columns layout pays only
+    # per-chunk (n, c) transposes, so it is fine for mid-size bases.
+    if rows_layout:
+        def basis_rows(c0, c1):
+            return Q[c0:c1]
 
-    is_cplx = jnp.issubdtype(Qr.dtype, jnp.complexfloating)
+        @jax.jit
+        def _s_chunk(Q, AQc):            # (k,n),(c,n) -n-> (k, c)
+            return jnp.einsum("kn,cn->kc", Q.conj(), AQc, precision=prec)
+
+        @jax.jit
+        def _ritz_rows(Q, Vc):           # (k,c),(k,n) -k-> (c, n)
+            return jnp.einsum("kc,kn->cn", Vc, Q, precision=prec)
+    else:
+        def basis_rows(c0, c1):
+            return Q[:, c0:c1].T         # per-chunk transpose only
+
+        @jax.jit
+        def _s_chunk(Q, AQc):            # (c,n),(n,k) -n-> (k, c)
+            return jnp.einsum("cn,nk->kc", AQc, Q.conj(), precision=prec)
+
+        @jax.jit
+        def _ritz_rows(Q, Vc):           # (n,k),(k,c) -k-> (c, n)
+            return jnp.einsum("nk,kc->cn", Q, Vc, precision=prec)
+
+    is_cplx = jnp.issubdtype(dtype, jnp.complexfloating)
     S = np.zeros((k, k), dtype=complex if is_cplx else np.float64)
     for c0 in range(0, k, chunk):
-        S[:, c0:c0 + chunk] = np.asarray(
-            _s_chunk(Qr, Qr[c0:c0 + chunk]), dtype=S.dtype
-        )
+        AQc = mv_rows(basis_rows(c0, min(k, c0 + chunk)))
+        S[:, c0:c0 + chunk] = np.asarray(_s_chunk(Q, AQc), dtype=S.dtype)
 
     w, Vs = _dense_eig_host(S)
     order = np.argsort(w.real)
@@ -437,22 +490,28 @@ def rayleigh_ritz(A, Q, chunk=16, return_vectors=True, rows_layout=False):
     if real_w:
         w = w.real
 
+    if not compute_residuals and not return_vectors:
+        # Eigenvalue-only mode (the ChebFSI bootstrap's inner loop): skip
+        # the second chunked pass entirely — it costs as much as the
+        # projection pass.
+        return w, None, None
+
     @jax.jit
-    def _resid_chunk(Qr, Vc, wc):
-        Xc = jnp.matmul(Vc.T, Qr, precision=prec)  # (c, n) Ritz rows
+    def _resid_of(Xc, wc):
         Rc = mv_rows(Xc) - wc[:, None] * Xc
-        return Xc, jnp.sqrt(jnp.sum(jnp.abs(Rc) ** 2, axis=1))
+        return jnp.sqrt(jnp.sum(jnp.abs(Rc) ** 2, axis=1))
 
     res = np.zeros(k)
     x_chunks = [] if return_vectors else None
     if real_w or is_cplx:
         Vdev = jnp.asarray(Vs.real if real_w and not is_cplx else Vs,
-                           dtype=Qr.dtype)
-        wdev = jnp.asarray(w, dtype=Qr.dtype)
+                           dtype=dtype)
+        wdev = jnp.asarray(w, dtype=dtype)
         for c0 in range(0, k, chunk):
-            Xc, rc = _resid_chunk(Qr, Vdev[:, c0:c0 + chunk],
-                                  wdev[c0:c0 + chunk])
-            res[c0:c0 + chunk] = np.asarray(rc, np.float64)
+            Xc = _ritz_rows(Q, Vdev[:, c0:c0 + chunk])
+            res[c0:c0 + chunk] = np.asarray(
+                _resid_of(Xc, wdev[c0:c0 + chunk]), np.float64
+            )
             if return_vectors:
                 x_chunks.append(Xc)
         X = None
@@ -462,12 +521,12 @@ def rayleigh_ritz(A, Q, chunk=16, return_vectors=True, rows_layout=False):
     else:
         # Real basis, complex Ritz pairs: split-complex on host (TPU has
         # no complex dtypes) — two real chunked passes.
-        Vr = jnp.asarray(Vs.real, dtype=Qr.dtype)
-        Vi = jnp.asarray(Vs.imag, dtype=Qr.dtype)
+        Vr = jnp.asarray(Vs.real, dtype=dtype)
+        Vi = jnp.asarray(Vs.imag, dtype=dtype)
         Xh = []
         for c0 in range(0, k, chunk):
-            Xr = jnp.matmul(Vr[:, c0:c0 + chunk].T, Qr, precision=prec)
-            Xi = jnp.matmul(Vi[:, c0:c0 + chunk].T, Qr, precision=prec)
+            Xr = _ritz_rows(Q, Vr[:, c0:c0 + chunk])
+            Xi = _ritz_rows(Q, Vi[:, c0:c0 + chunk])
             AXr, AXi = mv_rows(Xr), mv_rows(Xi)
             Xc = np.asarray(Xr, np.float64) + 1j * np.asarray(Xi, np.float64)
             AXc = np.asarray(AXr, np.float64) + 1j * np.asarray(AXi, np.float64)

@@ -149,3 +149,21 @@ def test_driver_tiled_threshold_solve(monkeypatch):
     assert np.allclose(
         np.sort(d1.eigenvalues.real), np.sort(d0.eigenvalues.real), atol=1e-9
     )
+
+
+def test_sliced_expansion_dispatch(monkeypatch):
+    """Expansion dispatches are sliced to bounded predicted duration (TPU
+    watchdog, see ops/expansion.py DISPATCH_BUDGET_S).  Forcing 1-step
+    slices must not change the algorithm: identical matvecs/spectrum."""
+    from arnoldimethod_tpu import driver, partial_schur
+    from arnoldimethod_tpu.models.problems import laplacian_1d
+
+    op = laplacian_1d(80)
+    d0, h0 = partial_schur(op, nev=6, which="SR", tol=1e-8, method="host")
+    monkeypatch.setattr(driver, "DISPATCH_BUDGET_S", 1e-12)
+    d1, h1 = partial_schur(op, nev=6, which="SR", tol=1e-8, method="host")
+    assert h1.converged
+    assert h1.mvproducts == h0.mvproducts
+    assert np.allclose(
+        np.sort(d1.eigenvalues.real), np.sort(d0.eigenvalues.real), atol=1e-9
+    )
