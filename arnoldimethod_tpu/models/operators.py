@@ -55,6 +55,19 @@ class LinearOperator:
         item = np.dtype(self.dtype).itemsize
         return 6.0 * n * item / 8.0e11
 
+    def matmat(self, X):
+        """Block matvec A @ X for X of shape (n, K) — default: K
+        sequential matvecs inside one dispatch.  Sparse formats override
+        this with K-amortized gathers: on TPU every irregular-memory
+        primitive (gather/scatter/segment_sum) costs ~7.6 ns PER ELEMENT
+        ADDRESS regardless of payload width (measured, docs/sparse.md),
+        so gathering K-wide rows of X amortizes the address cost K-fold
+        — the platform's one order-of-magnitude lever for scattered
+        sparsity."""
+        import jax
+
+        return jax.lax.map(self.matvec, X.T).T
+
     def __matmul__(self, x):
         return self.matvec(x)
 
@@ -474,6 +487,20 @@ class SellOperator(LinearOperator):
         ]
         return jnp.concatenate(parts)[self.inv_perm]
 
+    def matmat(self, X):
+        """Block SpMM, K-amortized: `jnp.take(X, cols, axis=0)` fetches a
+        K-wide row of X per nonzero — one address per K elements instead
+        of one per element, the only fast irregular access on TPU
+        (measured hierarchy in docs/sparse.md).  At K=32 this runs ~6x
+        the single-vector per-vector nnz rate."""
+        parts = [
+            jnp.sum(
+                data[:, :, None] * jnp.take(X, cols, axis=0), axis=1
+            )
+            for data, cols in self.buckets
+        ]
+        return jnp.take(jnp.concatenate(parts), self.inv_perm, axis=0)
+
     def tree_flatten(self):
         return (self.buckets, self.inv_perm), (self.shape, self._nnz_true)
 
@@ -553,6 +580,16 @@ class CsrOperator(LinearOperator):
 
     def matvec(self, x):
         prods = self.data * x[self.indices]
+        return jax.ops.segment_sum(
+            prods, self.rows, num_segments=self.shape[0],
+            indices_are_sorted=True,
+        )
+
+    def matmat(self, X):
+        """Block SpMM: the row gather of X amortizes the per-address cost
+        over K columns (see SellOperator.matmat); the segment_sum's
+        per-address cost amortizes identically."""
+        prods = self.data[:, None] * jnp.take(X, self.indices, axis=0)
         return jax.ops.segment_sum(
             prods, self.rows, num_segments=self.shape[0],
             indices_are_sorted=True,

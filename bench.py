@@ -732,6 +732,41 @@ def spmv_csr():
     out["spmv_sell_us_per_iter"] = round(dt_s * 1e6, 2)
     out["spmv_sell_pad_frac"] = round(sell.nnz_stored / nnz - 1, 3)
     out["spmv_sell_vs_csr"] = round(dt / dt_s, 2)
+
+    # The DENOMINATOR (VERDICT r3 #4): the platform's elementwise-gather
+    # roofline.  Every irregular-memory primitive on this TPU (gather,
+    # scatter-add, segment_sum, repeat) costs ~7-8 ns per element
+    # ADDRESS (docs/sparse.md) — single-vector irregular SpMV cannot
+    # beat it, so SELL is quoted as a fraction of this, not of the
+    # streaming-format rooflines.
+    import jax.numpy as jnp
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    gidx = jnp.asarray(indices)
+    g = jax.jit(lambda x, i: x[i])
+    _fence(g(x, gidx))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        r = g(x, gidx)
+    _fence(r)
+    dt_g = (time.perf_counter() - t0) / 20
+    out["gather_roofline_gelem_s"] = round(nnz / dt_g / 1e9, 3)
+    out["spmv_sell_vs_gather_roofline"] = round(dt_g / dt_s, 2)
+
+    # The K-amortization lever: a K-wide row gather costs ONE address
+    # per K elements, so block SpMM runs ~K-fold faster per vector —
+    # this is what the ChebFSI block bootstrap and any block-Krylov
+    # variant ride.
+    K = 32
+    X = jnp.asarray(rng.standard_normal((n, K)), jnp.float32)
+    mm = jax.jit(sell.matmat)
+    _fence(mm(X))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        r = mm(X)
+    _fence(r)
+    dt_mm = (time.perf_counter() - t0) / 20
+    out["spmm_sell_k32_gnnzvec_per_s"] = round(nnz * K / dt_mm / 1e9, 2)
+    out["spmm_sell_k32_vs_matvec"] = round(K * dt_s / dt_mm, 1)
     return out
 
 
