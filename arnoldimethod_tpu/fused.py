@@ -114,6 +114,18 @@ def _fused_chunk(op, V, H, active, prods, it, purges, done, qr_ok,
         qr_ok = qr_ok & ok
         lam_re, lam_im, _ = eigenvalues_jax(H, eps)
         rs = residuals_jax(H, Q, H[m, m - 1], active, m, eps)
+        # Schur-coupling floor (driver._schur_coupling_floor twin): lock
+        # only when the coupling the truncation would DISCARD is below
+        # tol too; 2x2 blocks take the block max.
+        coupling = jnp.abs(H[m, m - 1]) * jnp.abs(Q[m - 1, :])
+        rs = jnp.maximum(rs, coupling)
+        sub = jnp.concatenate([jnp.diag(H[:m, :m], -1), jnp.zeros(1, dtype)])
+        first = (sub != 0) & (idxv < m - 1)          # (j, j+1) pair head
+        second = jnp.concatenate([jnp.zeros(1, bool), first[:-1]])
+        nxt = jnp.concatenate([rs[1:], jnp.zeros(1, dtype)])
+        rs = jnp.where(first, jnp.maximum(rs, nxt), rs)
+        prv = jnp.concatenate([jnp.zeros(1, dtype), rs[:-1]])
+        rs = jnp.where(second, jnp.maximum(rs, prv), rs)
         hfrob = jnp.linalg.norm(H)
 
         keys = order_key_jax(which, lam_re, lam_im)

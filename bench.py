@@ -564,36 +564,60 @@ def conv_diffusion():
     oscillatory threshold (beta > 1) so the spectrum genuinely has
     conjugate pairs.
 
-    Grid size is nx=64: the LM eigenvalues of this operator cluster with
-    relative gaps O((pi*h)^2), and for nx >= 128 (gap ~1e-4) float32
-    Krylov-Schur residuals plateau ~1e-3 — a measured single-precision
-    stagnation limit, not a budget limit (float64 on CPU converges nx=128
-    in 69 restarts; see docs/precision.md 'cluster resolution')."""
+    The LM eigenvalues of this operator cluster with relative gaps
+    O((pi*h)^2): plain float32 Krylov-Schur stagnates at ~1e-3 residuals
+    for nx >= 128 (docs/precision.md 'cluster resolution').  This phase
+    runs `extended=True` — double-word f32 arithmetic, the exact tool
+    built for cluster resolution — which converges nx=256 (n=65,536,
+    16x the round-3 phase size) to tol=1e-6 on f32-only hardware."""
     _jax()
     import numpy as np
 
     from arnoldimethod_tpu import partial_schur
     from arnoldimethod_tpu.models.problems import convection_diffusion_2d
 
-    nx = 64  # n = 4096; see the f32 cluster-resolution note above
+    nx = 256
     op = convection_diffusion_2d(
         nx, peclet=4.0 * (nx + 1), dtype=np.float32, fmt="stencil"
     )
+    kw = dict(nev=10, which="LM", tol=1e-6, mindim=30, maxdim=60,
+              restarts=1000, extended=True)
     t0 = time.perf_counter()
-    decomp, history = partial_schur(
-        op, nev=10, which="LM", tol=1e-6, mindim=20, maxdim=40,
-        restarts=400, method="host",
-    )
+    decomp, history = partial_schur(op, **kw)
     np.asarray(decomp.Q[:, :1])
     wall = time.perf_counter() - t0
-    n_complex = int(np.sum(decomp.eigenvalues.imag != 0))
+
+    t0 = time.perf_counter()
+    decomp2, history2 = partial_schur(op, **kw)
+    np.asarray(decomp2.Q[:, :1])
+    warm_wall = time.perf_counter() - t0
+
+    # Residual in host float64 (an f32 matvec's own rounding noise,
+    # integrated over 65k x 10 entries, is ~1e-3 and would swamp the
+    # double-word solve's actual residual).
+    h = 1.0 / (nx + 1)
+    beta = 4.0 * (nx + 1) * h / 2.0
+    Q = np.asarray(decomp2.Q, np.float64)
+    G = Q.reshape(nx, nx, -1)
+    AQg = 4.0 * G.copy()
+    AQg[:, 1:] += (-1.0 - beta) * G[:, :-1]   # west neighbor
+    AQg[:, :-1] += (-1.0 + beta) * G[:, 1:]   # east neighbor
+    AQg[1:, :] += -1.0 * G[:-1, :]
+    AQg[:-1, :] += -1.0 * G[1:, :]
+    R = np.asarray(decomp2.R)
+    resid = float(np.linalg.norm(AQg.reshape(nx * nx, -1) - Q @ R))
+    n_complex = int(np.sum(decomp2.eigenvalues.imag != 0))
     return {
-        "conv_nx": nx,  # problem size in the output: the r1 run used
-        "conv_n": nx * nx,  # nx=512, so cross-round keys need the size
+        "conv_nx": nx,
+        "conv_n": nx * nx,
         "conv_wall_s": round(wall, 2),
+        "conv_wall_warm_s": round(warm_wall, 2),
         "conv_matvecs": history.mvproducts,
-        "conv_converged": bool(history.converged),
+        "conv_warm_matvecs": history2.mvproducts,
+        "conv_converged": bool(history.converged and history2.converged),
+        "conv_schur_residual": float(f"{resid:.3e}"),
         "conv_complex_pairs": n_complex // 2,
+        "conv_extended": True,
     }
 
 
