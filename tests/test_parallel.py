@@ -292,3 +292,32 @@ def test_sharded_csr_footprint_comm_bytes():
     assert all(s <= F for s in payloads), (payloads, F)
     # Total comm per device: (ndev-1) * F elems, far below n - n_local.
     assert (8 - 1) * F * 8 < (n - n // 8) * 8 / 2
+
+
+def test_sharded_shift_invert_solve():
+    """Config 4's 'distributed sparse-triangular solves': the
+    associative-scan tridiagonal solver composes with an 8-device mesh —
+    GSPMD partitions the scan into per-device block scans stitched by
+    collectives — and the sharded solve matches the single-device one
+    matvec-for-matvec (docs/transforms.md 'distributing shift-invert')."""
+    import numpy as np
+    import jax.numpy as jnp
+    from arnoldimethod_tpu import TridiagonalShiftInvertOperator, partial_schur
+    from arnoldimethod_tpu.parallel.mesh import make_mesh, basis_sharding
+
+    n = 1024
+    dl = np.full(n - 1, -1.0)
+    d = np.full(n, 2.0)
+    du = np.full(n - 1, -1.001)
+    si = TridiagonalShiftInvertOperator.build(dl, d, du, sigma=0.0,
+                                              dtype=np.float64)
+    mesh = make_mesh(8)
+    d1, h1 = partial_schur(si, nev=6, which="LM", tol=1e-9, mindim=8,
+                           maxdim=16, sharding=basis_sharding(mesh),
+                           method="host")
+    d0, h0 = partial_schur(si, nev=6, which="LM", tol=1e-9, mindim=8,
+                           maxdim=16, method="host")
+    assert h1.converged and h0.converged
+    assert h1.mvproducts == h0.mvproducts
+    assert np.allclose(np.sort(d1.eigenvalues.real),
+                       np.sort(d0.eigenvalues.real), atol=1e-10)
