@@ -33,6 +33,16 @@ __all__ = [
 ]
 
 
+def _single_tpu_device():
+    """True when the runtime is exactly one TPU chip — the regime where
+    single-device Pallas kernels are usable (trace-time host check)."""
+    try:
+        devs = jax.devices()
+    except Exception:
+        return False
+    return len(devs) == 1 and devs[0].platform == "tpu"
+
+
 class LinearOperator:
     """Protocol base class.  Subclasses define `shape`, `dtype`, and
     `matvec(x) -> y` (jit-traceable)."""
@@ -244,14 +254,35 @@ class Stencil5Operator(LinearOperator):
         ny, nx = self.grid
         use_pallas = self.use_pallas
         if use_pallas is None:
-            # Auto = XLA: the fused five-shift elementwise expression now
-            # outruns the Pallas halo-DMA kernel on real hardware
-            # (bench roofline phase, r3: 660 vs 561 Gnnz/s at 1M rows,
-            # 212 vs 197 at 16M) — XLA's fusion of pad+shifts into one
-            # pass improved past the hand-written pipeline.  The Pallas
-            # kernel stays available (use_pallas=True) and validated
-            # (bench `kernels` phase) as the halo-DMA reference.
-            use_pallas = False
+            # Auto: the sliding-window Pallas kernel on a single TPU chip
+            # (every x row fetched from HBM once, measured 1.36x the XLA
+            # shifted-slice form in operator context and ~0.97x memcpy
+            # when called on 2-D operands — docs/profile_1m.md /
+            # docs/sparse.md siblings; full accounting in the roofline
+            # bench phase).  Everywhere else (CPU, multi-device meshes,
+            # grids whose rows don't tile) the XLA formulation: its
+            # shifts become GSPMD halo collectives under sharding, which
+            # a pallas_call cannot express.
+            item = jnp.dtype(self.dtype).itemsize
+            if _single_tpu_device() and ny * nx * item >= (32 << 20):
+                # HBM-resident grids only: below ~32 MB the vector is
+                # VMEM-cacheable and XLA's fused shifted-slice loop keeps
+                # iterated carries on-chip (measured 648 vs 555 Gnnz/s at
+                # 1M rows), which a custom call would force to HBM.
+                from ..ops.stencil_pallas import _pick_sliding_rows
+
+                if _pick_sliding_rows(ny, nx, item):
+                    use_pallas = "sliding"
+                else:
+                    use_pallas = False
+            else:
+                use_pallas = False
+        if use_pallas == "sliding":
+            from ..ops.stencil_pallas import stencil5_matvec_sliding
+
+            return stencil5_matvec_sliding(
+                x, coeffs=self.coeffs, grid=self.grid
+            )
         if use_pallas:
             from ..ops.stencil_pallas import stencil5_matvec
 

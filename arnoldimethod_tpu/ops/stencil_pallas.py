@@ -179,3 +179,99 @@ def stencil5_matvec(x, *, coeffs, grid, interpret=False, tile_rows=None):
         interpret=interpret,
     )(g)
     return y.reshape(ny * nx)
+
+
+def _sliding_kernel(x_ref, o_ref, ypart, lastrow, *, coeffs, R, nx, T):
+    """One-step software pipeline: grid step i (of T+1) COMPLETES tile
+    i-1's y (adding the south-halo term sourced from this step's x block,
+    already in VMEM via the automatic pipeline) and emits it, then
+    computes tile i's partial into the `ypart` scratch.  Every x row is
+    read from HBM exactly once; no overlapping-window DMA at all."""
+    c, w, e, no, so = coeffs
+    i = pl.program_id(0)
+
+    @pl.when(i > 0)
+    def _emit():
+        # South neighbor of tile (i-1)'s last row = this tile's first
+        # row — except past the grid's last tile, where it is the
+        # Dirichlet zero boundary.
+        @pl.when(i < T)
+        def _south_halo():
+            ypart[R - 1:R, :] += so * x_ref[0:1, :]
+
+        o_ref[...] = ypart[...]
+
+    @pl.when(i < T)
+    def _compute():
+        xb = x_ref[...]
+        zc = jnp.zeros((R, 1), xb.dtype)
+        zr = jnp.zeros((1, nx), xb.dtype)
+        part = (
+            c * xb
+            + w * jnp.concatenate([zc, xb[:, :-1]], axis=1)
+            + e * jnp.concatenate([xb[:, 1:], zc], axis=1)
+            + no * jnp.concatenate([zr, xb[:-1, :]], axis=0)
+            + so * jnp.concatenate([xb[1:, :], zr], axis=0)
+        )
+        ypart[...] = part
+
+        # North neighbor of this tile's first row lives in the previous
+        # tile's last row (zero boundary at the first tile).
+        @pl.when(i > 0)
+        def _north_halo():
+            ypart[0:1, :] += no * lastrow[...]
+
+        lastrow[...] = xb[R - 1:R, :]
+
+
+def _pick_sliding_rows(ny, nx, itemsize):
+    """Largest divisor of ny that is a multiple of 8 (sublane-aligned)
+    and keeps the kernel's ~5 tile-sized VMEM buffers (x and y double
+    buffers + the ypart scratch) inside the 16 MB scoped-vmem budget;
+    0 if none exists."""
+    cap = int(12e6 // (5 * nx * itemsize))  # rows per tile budget
+    best = 0
+    for r in range(8, min(cap, ny) + 1, 8):
+        if ny % r == 0:
+            best = r
+    return best
+
+
+def stencil5_matvec_sliding(x, *, coeffs, grid, interpret=False,
+                            tile_rows=None):
+    """y = A @ x for the 5-point stencil via the sliding-window kernel —
+    measured at ~2x the XLA shifted-slice formulation on HBM-resident
+    grids (bench.py roofline phase: the XLA form re-reads x for the
+    north/south taps; this one streams each row once and runs at the
+    blocked-copy rate)."""
+    ny, nx = grid
+    R = tile_rows or _pick_sliding_rows(ny, nx, x.dtype.itemsize)
+    if R == 0:
+        return stencil5_matvec(x, coeffs=coeffs, grid=grid,
+                               interpret=interpret)
+    T = ny // R
+    g = x.reshape(ny, nx)
+    y = pl.pallas_call(
+        functools.partial(_sliding_kernel, coeffs=coeffs, R=R, nx=nx, T=T),
+        grid=(T + 1,),
+        in_specs=[
+            pl.BlockSpec((R, nx), lambda i: (jnp.minimum(i, T - 1), 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (R, nx), lambda i: (jnp.maximum(i - 1, 0), 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((ny, nx), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((R, nx), x.dtype),
+            pltpu.VMEM((1, nx), x.dtype),
+        ],
+        # In-place: out block j's writeback lands strictly after x block
+        # j's (single) fetch in the pipeline order, so aliasing is safe,
+        # removes the output allocation, and measurably overlaps the
+        # writeback of call k with the fetches of call k+1 in iterated
+        # use.  XLA inserts a defensive copy when the caller's input is
+        # still live, so semantics are unconditional.
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(g)
+    return y.reshape(ny * nx)

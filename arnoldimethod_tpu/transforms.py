@@ -160,6 +160,20 @@ class ChebyshevFilterOperator(LinearOperator):
         convergence) is unchanged.  None = unscaled T_k (exact Chebyshev
         values, fine for small degrees / float64)."""
         self.op = as_operator(op)
+        # Inside the three-term recurrence the matvec input y_k stays
+        # LIVE (it is the next step's y_{k-1}), so an aliased Pallas
+        # matvec forces a defensive copy per step — and for VMEM-sized
+        # vectors XLA additionally keeps the whole recurrence carry
+        # on-chip, which a custom call would break.  Pin the stencil to
+        # its XLA formulation here (measured: cheb warm wall 1.07 s vs
+        # 5.67 s with the sliding kernel at 1M rows).
+        from .models.operators import Stencil5Operator
+
+        if isinstance(self.op, Stencil5Operator) and self.op.use_pallas is None:
+            self.op = Stencil5Operator(
+                self.op.coeffs, self.op.grid, dtype=self.op.dtype,
+                use_pallas=False,
+            )
         self.a = float(a)
         self.b = float(b)
         self.degree = int(degree)
@@ -422,6 +436,45 @@ def _dense_eig_host(S):
     return w, V / nrm
 
 
+_PREC_H = jax.lax.Precision.HIGHEST
+
+
+@jax.jit
+def _rr_mv_rows(op, X):
+    return lax.map(op.matvec, X)
+
+
+# The contractions keep the huge axis n on the LANE (minor) axis of every
+# large operand: a transposed or (n, k) minor-dim operand makes XLA pad k
+# up to 128 lanes — at north-star scale (k=100, n=10M) a hidden 5 GB copy
+# and a measured OOM.  Rows layout never pads; the columns layout pays
+# only per-chunk (n, c) transposes, fine for mid-size bases.
+@jax.jit
+def _rr_s_rows(Q, AQc):                  # (k,n),(c,n) -n-> (k, c)
+    return jnp.einsum("kn,cn->kc", Q.conj(), AQc, precision=_PREC_H)
+
+
+@jax.jit
+def _rr_ritz_rows(Q, Vc):                # (k,c),(k,n) -k-> (c, n)
+    return jnp.einsum("kc,kn->cn", Vc, Q, precision=_PREC_H)
+
+
+@jax.jit
+def _rr_s_cols(Q, AQc):                  # (c,n),(n,k) -n-> (k, c)
+    return jnp.einsum("cn,nk->kc", AQc, Q.conj(), precision=_PREC_H)
+
+
+@jax.jit
+def _rr_ritz_cols(Q, Vc):                # (n,k),(k,c) -k-> (c, n)
+    return jnp.einsum("nk,kc->cn", Q, Vc, precision=_PREC_H)
+
+
+@jax.jit
+def _rr_resid(op, Xc, wc):
+    Rc = lax.map(op.matvec, Xc) - wc[:, None] * Xc
+    return jnp.sqrt(jnp.sum(jnp.abs(Rc) ** 2, axis=1))
+
+
 def rayleigh_ritz(A, Q, chunk=16, return_vectors=True, rows_layout=False,
                   compute_residuals=True):
     """Eigenvalues of A restricted to the (filtered-solve) basis Q: solve
@@ -440,42 +493,27 @@ def rayleigh_ritz(A, Q, chunk=16, return_vectors=True, rows_layout=False,
 
     op = as_operator(A)
     k = Q.shape[0] if rows_layout else Q.shape[1]
-    prec = jax.lax.Precision.HIGHEST
     dtype = Q.dtype
 
-    mv_rows = jax.jit(lambda X: lax.map(op.matvec, X))
+    def mv_rows(X):
+        return _rr_mv_rows(op, X)
 
     # Layout-native projections: NO full-basis transpose is ever
     # materialized (Q is ~4 GB at north-star scale and a Q.T copy was a
-    # measured OOM); only (chunk, n) slices move.
-    # The contractions below are written so the huge axis n stays the
-    # LANE (minor) axis of every large operand: a transposed or (n, k)
-    # minor-dim operand makes XLA pad k up to 128 lanes, which at
-    # north-star scale (k=100, n=10M) is a hidden 5 GB copy — a measured
-    # OOM.  The rows layout never pads; the columns layout pays only
-    # per-chunk (n, c) transposes, so it is fine for mid-size bases.
+    # measured OOM); only (chunk, n) slices move.  The jitted helpers
+    # are MODULE-LEVEL functions: per-call jitted closures retrace (and
+    # on the remote-compile tunnel, recompile) on every rayleigh_ritz
+    # call — a measured 5+ s per call.
     if rows_layout:
         def basis_rows(c0, c1):
             return Q[c0:c1]
 
-        @jax.jit
-        def _s_chunk(Q, AQc):            # (k,n),(c,n) -n-> (k, c)
-            return jnp.einsum("kn,cn->kc", Q.conj(), AQc, precision=prec)
-
-        @jax.jit
-        def _ritz_rows(Q, Vc):           # (k,c),(k,n) -k-> (c, n)
-            return jnp.einsum("kc,kn->cn", Vc, Q, precision=prec)
+        _s_chunk, _ritz_rows = _rr_s_rows, _rr_ritz_rows
     else:
         def basis_rows(c0, c1):
             return Q[:, c0:c1].T         # per-chunk transpose only
 
-        @jax.jit
-        def _s_chunk(Q, AQc):            # (c,n),(n,k) -n-> (k, c)
-            return jnp.einsum("cn,nk->kc", AQc, Q.conj(), precision=prec)
-
-        @jax.jit
-        def _ritz_rows(Q, Vc):           # (n,k),(k,c) -k-> (c, n)
-            return jnp.einsum("nk,kc->cn", Q, Vc, precision=prec)
+        _s_chunk, _ritz_rows = _rr_s_cols, _rr_ritz_cols
 
     is_cplx = jnp.issubdtype(dtype, jnp.complexfloating)
     S = np.zeros((k, k), dtype=complex if is_cplx else np.float64)
@@ -496,10 +534,8 @@ def rayleigh_ritz(A, Q, chunk=16, return_vectors=True, rows_layout=False,
         # projection pass.
         return w, None, None
 
-    @jax.jit
     def _resid_of(Xc, wc):
-        Rc = mv_rows(Xc) - wc[:, None] * Xc
-        return jnp.sqrt(jnp.sum(jnp.abs(Rc) ** 2, axis=1))
+        return _rr_resid(op, Xc, wc)
 
     res = np.zeros(k)
     x_chunks = [] if return_vectors else None

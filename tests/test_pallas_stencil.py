@@ -85,3 +85,26 @@ def test_multi_tile_boundaries(ny, tile_rows):
         )
     )
     assert np.allclose(y_pl, y_ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("ny,nx", [(16, 128), (64, 256), (24, 128)])
+def test_sliding_matches_dia(ny, nx):
+    """Sliding-window kernel (the single-chip auto path) vs DIA reference,
+    interpreter mode; nonsymmetric coefficients to catch transposes."""
+    from arnoldimethod_tpu.ops.stencil_pallas import stencil5_matvec_sliding
+
+    coeffs = (4.0, -1.2, -0.8, -1.1, -0.9)
+    op = convection_diffusion_2d(nx, ny, peclet=0.0, dtype=np.float32,
+                                 fmt="dia")
+    # build the same nonsymmetric operator in DIA by hand
+    from arnoldimethod_tpu.models.problems import _grid_2d
+    op = _grid_2d(nx, ny, *coeffs, np.float32, "dia")
+    rng = np.random.default_rng(ny * nx)
+    x = jnp.asarray(rng.standard_normal(ny * nx).astype(np.float32))
+    y_ref = np.asarray(op.matvec(x))
+    y_pl = np.asarray(
+        stencil5_matvec_sliding(
+            x, coeffs=coeffs, grid=(ny, nx), interpret=True
+        )
+    )
+    assert np.allclose(y_pl, y_ref, atol=1e-4)
