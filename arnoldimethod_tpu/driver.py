@@ -33,7 +33,7 @@ from .dense.swaps import (
     swap,
 )
 from .dense import native as _native
-from .models.operators import as_operator
+from .models.operators import DenseOperator, as_operator
 from .ops.expansion import (
     DISPATCH_BUDGET_S,
     TILED_THRESHOLD_BYTES,
@@ -272,6 +272,7 @@ def partial_schur(
     method=None,
     extended=False,
     lowsync=False,
+    split_complex=None,
 ):
     """Compute an approximate partial Schur decomposition A Q = Q R with
     `nev` eigenvalues near the target `which`.
@@ -345,13 +346,17 @@ def partial_schur(
         )
 
     # Working dtype: follow the operator (canonicalized under the current
-    # x64 setting), like the reference's vtype genericity.
-    work_dtype = jnp.zeros(0, dtype=op.dtype).dtype
+    # x64 setting), like the reference's vtype genericity.  Metadata-only:
+    # materializing even a ZERO-SIZED complex device array poisons the
+    # TPU stream (its deallocation path hits the unimplemented complex
+    # transfer — every later readback then fails UNIMPLEMENTED).
+    work_dtype = jax.dtypes.canonicalize_dtype(jnp.dtype(op.dtype))
     # TPU has no 64-bit arithmetic, and complex device<->host transfers are
     # unimplemented on current TPU runtimes (verified empirically: complex64
     # programs execute but their readbacks fail with UNIMPLEMENTED and
     # poison the stream).  Fail loudly up front instead of dying inside the
     # runtime; docs/precision.md has the support matrix.
+    sc = False
     if work_dtype.itemsize > 8 or work_dtype in (
         jnp.dtype("float64"),
         jnp.dtype("complex64"),
@@ -362,12 +367,47 @@ def partial_schur(
             else jax.local_devices()[0].platform
         )
         if platform == "tpu":
-            raise NotImplementedError(
-                f"dtype {work_dtype} is not supported on TPU backends "
-                "(no 64-bit arithmetic; complex host transfers are "
-                "unimplemented in the TPU runtime). Use float32 on TPU — "
-                "LI/SI targets need a complex dtype and therefore a CPU "
-                "mesh — see docs/precision.md."
+            if jnp.issubdtype(work_dtype, jnp.complexfloating) and hasattr(
+                op, "matvec_sc"
+            ):
+                # Complex spectra on TPU: the SPLIT-COMPLEX path carries
+                # the basis as a real (re, im) pair on device
+                # (ops/sc_expansion.py) with the dense restart layer in
+                # host complex128.  `as_operator` builds the required
+                # matvec_sc for complex dense inputs automatically
+                # (SplitComplexDenseOperator).
+                sc = True
+            else:
+                raise NotImplementedError(
+                    f"dtype {work_dtype} is not supported on TPU backends "
+                    "(no 64-bit arithmetic; complex host transfers are "
+                    "unimplemented in the TPU runtime). Complex matrices "
+                    "run on TPU through the split-complex path when the "
+                    "operator implements matvec_sc(xr, xi) -> (yr, yi) — "
+                    "complex dense arrays get it automatically; float64 "
+                    "needs a CPU mesh — see docs/precision.md."
+                )
+    if split_complex is not None:
+        # Explicit opt-in/out (None = automatic on TPU backends): the
+        # split-complex path is platform-agnostic, so forcing it on a
+        # CPU mesh gives an oracle for the TPU behavior.
+        sc = bool(split_complex) and jnp.issubdtype(
+            work_dtype, jnp.complexfloating
+        )
+    if sc and not hasattr(op, "matvec_sc"):
+        from .models.operators import SplitComplexDenseOperator
+
+        if isinstance(op, DenseOperator):
+            word = (
+                jnp.float32
+                if work_dtype == jnp.dtype("complex64")
+                else jnp.float64
+            )
+            op = SplitComplexDenseOperator(np.asarray(op.A), word_dtype=word)
+        else:
+            raise ValueError(
+                "split-complex solves need an operator implementing "
+                "matvec_sc(xr, xi) -> (yr, yi)"
             )
     order_key = get_order(target)
     if tol is None:
@@ -381,7 +421,71 @@ def partial_schur(
 
     key = jax.random.PRNGKey(seed)
 
-    if workspace is None:
+    if sc:
+        from .ops.sc_expansion import (
+            sc_set_initial_vector,
+            sc_set_random_vector,
+        )
+
+        # Device words are real (float32 on TPU); the host Hessenberg is
+        # complex128 (the generic host dense layer).
+        word = jnp.dtype(getattr(op, "word_dtype", jnp.float32))
+        if workspace is None:
+            ws = ArnoldiWorkspace(n, maxdim, dtype=word, sharding=sharding)
+            if start_from is not None and start_from != 0:
+                raise ValueError("start_from requires an explicit workspace")
+            active0 = 0
+            ws.H = np.zeros_like(ws.H, dtype=np.complex128)
+            ws.Vim = jnp.zeros_like(ws.V)
+            if v1 is not None:
+                v1 = np.asarray(v1)
+                if v1.shape != (n,):
+                    raise ValueError("v1 should have the same dimension as A")
+                ws.V, ws.Vim = sc_set_initial_vector(
+                    ws.V, ws.Vim,
+                    jnp.asarray(np.real(v1), word),
+                    jnp.asarray(np.imag(v1), word),
+                )
+            else:
+                ws.V, ws.Vim = sc_set_random_vector(
+                    ws.V, ws.Vim, 0, jax.random.fold_in(key, 2**31)
+                )
+        else:
+            ws = workspace
+            if jnp.issubdtype(ws.dtype, jnp.complexfloating):
+                raise ValueError(
+                    "split-complex solves store the basis as a real "
+                    "(re, im) pair: pass a float32 workspace (its Vim "
+                    "holds the imaginary word) — see docs/precision.md"
+                )
+            if maxdim >= ws.V.shape[0]:
+                raise ValueError(
+                    "maxdim should be strictly less than V's row count"
+                )
+            if not np.iscomplexobj(ws.H):
+                ws.H = ws.H.astype(np.complex128)
+            if getattr(ws, "Vim", None) is None:
+                ws.Vim = jnp.zeros_like(ws.V)
+            active0 = 0 if start_from is None else int(start_from)
+            if not 0 <= active0 <= maxdim:
+                raise ValueError("start_from should be between 0 and maxdim")
+            ws.H[:, active0:] = 0
+            if initialize is None:
+                initialize = active0 == 0 and v1 is None
+            if v1 is not None:
+                if active0 != 0:
+                    raise ValueError("v1 requires start_from == 0")
+                v1 = np.asarray(v1)
+                ws.V, ws.Vim = sc_set_initial_vector(
+                    ws.V, ws.Vim,
+                    jnp.asarray(np.real(v1), word),
+                    jnp.asarray(np.imag(v1), word),
+                )
+            elif initialize:
+                ws.V, ws.Vim = sc_set_random_vector(
+                    ws.V, ws.Vim, active0, jax.random.fold_in(key, 2**31)
+                )
+    elif workspace is None:
         ws = ArnoldiWorkspace(n, maxdim, dtype=work_dtype, sharding=sharding)
         if start_from is not None and start_from != 0:
             raise ValueError("start_from requires an explicit workspace")
@@ -432,6 +536,17 @@ def partial_schur(
                 "compatible"
             )
         method = "host"
+    if sc:
+        if lowsync or extended:
+            raise ValueError(
+                "split-complex solves use the plain DGKS expansion "
+                "(lowsync/extended are real-dtype options)"
+            )
+        if method == "device":
+            raise ValueError(
+                "complex matrices run split-complex on the host method"
+            )
+        method = "host"
     if method is None:
         platform = (
             next(iter(sharding.device_set)).platform
@@ -463,7 +578,7 @@ def partial_schur(
 
     schur, history = _partial_schur(
         op, ws, mindim, maxdim, nev, tol, restarts, target, order_key, active0,
-        key, extended=extended, lowsync=lowsync,
+        key, extended=extended, lowsync=lowsync, sc=sc,
     )
     return schur, history
 
@@ -519,7 +634,7 @@ def _partial_schur_device(op, ws, mindim, maxdim, nev, tol, restarts, target, ke
 
 
 def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key,
-                   active0, key, extended=False, lowsync=False):
+                   active0, key, extended=False, lowsync=False, sc=False):
     m = maxdim
     # Dense restart kernels: native C++ fast path when the library is built
     # and the workspace fits its scratch buffers; the numpy layer is the
@@ -544,7 +659,18 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
     x = np.zeros(m, dtype=complex)
     groups = np.zeros(m, dtype=int)
 
-    Hdev = jnp.asarray(H, dtype=ws.dtype)
+    if sc:
+        from .ops.sc_expansion import (
+            sc_apply_basis_change,
+            sc_expand_range,
+            sc_truncate_and_expand,
+        )
+
+        Vim = ws.Vim
+        Hdev = jnp.asarray(H.real, dtype=ws.dtype)
+        Hdev_i = jnp.asarray(H.imag, dtype=ws.dtype)
+    else:
+        Hdev = jnp.asarray(H, dtype=ws.dtype)
 
     # Huge single-device bases: the one-GEMM truncation basis change
     # needs a second V-sized buffer, which at north-star scale (13.5 GB
@@ -609,7 +735,7 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
         (
             op.matvec_cost_hint()
             + 4.0 * (m + 1) * n * np.dtype(ws.dtype).itemsize / 8.0e11
-        ) * (3.0 if extended else 1.0)
+        ) * (3.0 if extended else (2.0 if sc else 1.0))
     ]
 
     def _run_sliced(dispatch, j0, sync):
@@ -651,6 +777,17 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
             _run_sliced(_disp0, active0, lambda: np.asarray(Hdev[:1, :1]))
             Hpull = np.asarray(Hdev, dtype=H.dtype) + np.asarray(
                 Hlo, dtype=H.dtype
+            )
+        elif sc:
+            def _disp0(a0, b0):
+                nonlocal V, Vim, Hdev, Hdev_i
+                V, Vim, Hdev, Hdev_i = sc_expand_range(
+                    op, V, Vim, Hdev, Hdev_i, a0, b0, key0
+                )
+
+            _run_sliced(_disp0, active0, lambda: np.asarray(Hdev[:1, :1]))
+            Hpull = np.asarray(Hdev, np.float64) + 1j * np.asarray(
+                Hdev_i, np.float64
             )
         else:
             _expand = expand_range_lowsync if lowsync else expand_range
@@ -782,6 +919,25 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
                 Hpull = np.asarray(Hdev, dtype=H.dtype) + np.asarray(
                     Hlo, dtype=H.dtype
                 )
+            elif sc:
+                Qr = jnp.asarray(np.ascontiguousarray(Qbig.real), ws.dtype)
+                Qi = jnp.asarray(np.ascontiguousarray(Qbig.imag), ws.dtype)
+
+                def _dispt(a0, b0):
+                    nonlocal V, Vim, Hdev, Hdev_i
+                    if a0 == k:
+                        V, Vim, Hdev, Hdev_i = sc_truncate_and_expand(
+                            op, V, Vim, Hdev, Hdev_i, Qr, Qi, a0, b0, keyit
+                        )
+                    else:
+                        V, Vim, Hdev, Hdev_i = sc_expand_range(
+                            op, V, Vim, Hdev, Hdev_i, a0, b0, keyit
+                        )
+
+                _run_sliced(_dispt, k, lambda: np.asarray(Hdev[:1, :1]))
+                Hpull = np.asarray(Hdev, np.float64) + 1j * np.asarray(
+                    Hdev_i, np.float64
+                )
             else:
                 Qdev = jnp.asarray(Qbig, dtype=ws.dtype)
                 if lowsync:
@@ -809,7 +965,9 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
         prods += m - k
         timings["device"] += _time.perf_counter() - t0
 
-        if _DEBUG:
+        if _DEBUG and not sc:
+            # (split-complex: V alone is only the real word — the
+            # orthonormality check would be meaningless)
             _debug_checks(H, V, m, it)
 
         # Keep the workspace coherent after every restart so an exception
@@ -817,6 +975,8 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
         ws.V = V
         if extended:
             ws.Vlo = Vlo
+        if sc:
+            ws.Vim = Vim
 
     nconverged = active
 
@@ -836,6 +996,12 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
     t0 = _time.perf_counter()
     if extended:
         V, Vlo = df_apply_basis_change(V, Vlo, *split_f64(Qbig, ws.dtype))
+    elif sc:
+        V, Vim = sc_apply_basis_change(
+            V, Vim,
+            jnp.asarray(np.ascontiguousarray(Qbig.real), ws.dtype),
+            jnp.asarray(np.ascontiguousarray(Qbig.imag), ws.dtype),
+        )
     elif basis_tiles:
         V = apply_basis_change_tiled(
             V, jnp.asarray(Qbig, dtype=ws.dtype), tiles=basis_tiles
@@ -855,6 +1021,8 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
     # extended run; a plain solve invalidates it (V moved without lo
     # tracking).
     ws.Vlo = Vlo if extended else None
+    if sc:
+        ws.Vim = Vim
 
     history = History(prods, nconverged, nconverged >= nev, nev, restarts=it,
                       purges=purge_events, timings=timings)
@@ -863,6 +1031,17 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
         Vfull = np.asarray(V, np.float64) + np.asarray(Vlo, np.float64)
         schur = PartialSchur(
             Vfull[:nconverged].T.copy(),
+            H[:nconverged, :nconverged].copy(),
+            lams[:nconverged].copy(),
+        )
+        return schur, history
+    if sc:
+        # Recombine on HOST: TPU runtimes cannot transfer complex arrays.
+        Vfull = np.asarray(V[:nconverged], np.float64) + 1j * np.asarray(
+            Vim[:nconverged], np.float64
+        )
+        schur = PartialSchur(
+            Vfull.T.copy(),
             H[:nconverged, :nconverged].copy(),
             lams[:nconverged].copy(),
         )

@@ -27,6 +27,7 @@ __all__ = [
     "ShardedCsrOperator",
     "FunctionOperator",
     "ShiftInvertDenseOperator",
+    "SplitComplexDenseOperator",
     "TridiagonalShiftInvertOperator",
     "as_operator",
     "csr_to_ell",
@@ -1198,6 +1199,58 @@ class TridiagonalShiftInvertOperator(LinearOperator):
         return obj
 
 
+@register_pytree_node_class
+class SplitComplexDenseOperator(LinearOperator):
+    """Complex dense matrix held as a REAL (Ar, Ai) pair — the operator
+    form for complex spectra on TPU hardware, which has no complex
+    dtypes (driver.py gate; ops/sc_expansion.py has the solver side).
+
+    `matvec_sc(xr, xi) -> (yr, yi)` computes A @ (xr + i*xi) with four
+    real MXU matvecs; `matvec` accepts a complex input only on backends
+    with complex support (CPU oracle paths)."""
+
+    def __init__(self, A, word_dtype=jnp.float32):
+        A = np.asarray(A)
+        self.Ar = jnp.asarray(A.real, dtype=word_dtype)
+        self.Ai = jnp.asarray(A.imag, dtype=word_dtype)
+        self.shape = A.shape
+        # The SOLVER dtype is complex (drives the host dense layer and
+        # target semantics); the device words are real.
+        self.dtype = jnp.dtype(
+            "complex64" if jnp.dtype(word_dtype) == jnp.float32 else "complex128"
+        )
+        self.word_dtype = jnp.dtype(word_dtype)
+
+    def matvec_sc(self, xr, xi):
+        prec = jax.lax.Precision.HIGHEST
+        yr = jnp.matmul(self.Ar, xr, precision=prec) - jnp.matmul(
+            self.Ai, xi, precision=prec
+        )
+        yi = jnp.matmul(self.Ar, xi, precision=prec) + jnp.matmul(
+            self.Ai, xr, precision=prec
+        )
+        return yr, yi
+
+    def matvec(self, x):
+        yr, yi = self.matvec_sc(jnp.real(x).astype(self.word_dtype),
+                                jnp.imag(x).astype(self.word_dtype))
+        return yr + 1j * yi
+
+    def matvec_cost_hint(self):
+        n = self.shape[0]
+        return 4.0 * n * n * self.word_dtype.itemsize / 8.0e11
+
+    def tree_flatten(self):
+        return (self.Ar, self.Ai), (self.shape, self.dtype, self.word_dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.Ar, obj.Ai = children
+        obj.shape, obj.dtype, obj.word_dtype = aux
+        return obj
+
+
 def as_operator(A, n=None, dtype=None):
     """Coerce A (operator, 2-D array, scipy.sparse matrix, or callable) to
     a LinearOperator.
@@ -1249,4 +1302,11 @@ def as_operator(A, n=None, dtype=None):
     # (ref: run.jl:9-12).
     if np.issubdtype(arr.dtype, np.integer) or np.issubdtype(arr.dtype, np.bool_):
         arr = np.asarray(arr, dtype=np.float64)
+    if (
+        np.issubdtype(np.asarray(arr).dtype, np.complexfloating)
+        and jax.devices()[0].platform == "tpu"
+    ):
+        # TPU has no complex dtypes: hold (re, im) as real device arrays
+        # and solve through the split-complex path (ops/sc_expansion.py).
+        return SplitComplexDenseOperator(np.asarray(arr))
     return DenseOperator(jnp.asarray(arr))

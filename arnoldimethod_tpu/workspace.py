@@ -59,6 +59,10 @@ class ArnoldiWorkspace:
         # extended run so a warm start resumes at double-word accuracy;
         # None after plain solves (which track only the single-word V).
         self.Vlo = None
+        # Imaginary word of the basis for split-complex solves (complex
+        # matrices on TPU — ops/sc_expansion.py); None for real/plain
+        # complex solves.
+        self.Vim = None
         self.sharding = sharding
 
         host_dtype = (
@@ -91,6 +95,8 @@ class ArnoldiWorkspace:
         extra = {}
         if self.Vlo is not None:
             extra["Vlo"] = np.asarray(self.Vlo)
+        if self.Vim is not None:
+            extra["Vim"] = np.asarray(self.Vim)
         np.savez(
             path,
             V=np.asarray(self.V),
@@ -118,4 +124,9 @@ class ArnoldiWorkspace:
                 if sharding is not None:
                     Vlo = jax.device_put(Vlo, sharding)
                 ws.Vlo = Vlo
+            if "Vim" in f:
+                Vim = jnp.asarray(f["Vim"], dtype=ws.dtype)
+                if sharding is not None:
+                    Vim = jax.device_put(Vim, sharding)
+                ws.Vim = Vim
             return ws

@@ -481,6 +481,53 @@ def e2e_1m_device():
     }
 
 
+def complex_sc():
+    """Complex matrices on TPU hardware via the split-complex path
+    (ops/sc_expansion.py — VERDICT r3 missing #5): a complex64 random
+    matrix solved for its LARGEST-IMAGINARY eigenvalues (the :LI target
+    that exists only in complex arithmetic), basis carried as real
+    (re, im) words on device, dense restart layer in host complex128."""
+    _jax()
+    import numpy as np
+
+    from arnoldimethod_tpu import partial_schur
+
+    rng = np.random.default_rng(0)
+    n = 1500
+    A = (
+        rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    ).astype(np.complex64) / np.sqrt(n)
+    kw = dict(nev=8, which="LI", tol=1e-5, mindim=16, maxdim=32,
+              restarts=500)
+    t0 = time.perf_counter()
+    decomp, history = partial_schur(A, **kw)
+    wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    decomp2, history2 = partial_schur(A, **kw)
+    warm = time.perf_counter() - t0
+
+    Q = np.asarray(decomp2.Q)
+    R = np.asarray(decomp2.R)
+    A64 = A.astype(np.complex128)
+    k = Q.shape[1]
+    resid = np.linalg.norm(A64 @ Q - Q @ R) / np.linalg.norm(A64)
+    orth = np.linalg.norm(Q.conj().T @ Q - np.eye(k))
+    lam_ref = np.linalg.eigvals(A64)
+    lam_ref = np.sort(lam_ref[np.argsort(-lam_ref.imag)][:8].imag)
+    lam_got = np.sort(decomp2.eigenvalues.imag)
+    eig_err = float(np.max(np.abs(lam_got - lam_ref)))
+    return {
+        "complex_sc_n": n,
+        "complex_sc_wall_s": round(wall, 2),
+        "complex_sc_wall_warm_s": round(warm, 2),
+        "complex_sc_matvecs": history2.mvproducts,
+        "complex_sc_converged": bool(history.converged and history2.converged),
+        "complex_sc_schur_resid": float(f"{resid:.3e}"),
+        "complex_sc_orth": float(f"{orth:.3e}"),
+        "complex_sc_li_eig_err": float(f"{eig_err:.3e}"),
+    }
+
+
 def e2e_65k_fused():
     """Fused on-device solver at scale: n=65536 (256x256) 2-D Laplacian,
     nev=10 smallest, moderate subspace sizes (mindim=20, maxdim=40 — a
@@ -871,6 +918,7 @@ PHASES = {
     "shiftinv": shift_invert,
     "kernels": kernels,
     "spmvcsr": spmv_csr,
+    "complexsc": complex_sc,
 }
 
 # Order matters: the cheap/high-signal phases run first so a timeout tail
@@ -882,6 +930,7 @@ PHASE_ORDER = [
     "roofline",
     "kernels",
     "shiftinv",
+    "complexsc",
     "conv",
     "e2e65k",
     "e2e10m",

@@ -1,0 +1,93 @@
+"""Split-complex solves (complex matrices through real (re, im) pairs —
+the TPU path, ops/sc_expansion.py), validated on the CPU mesh against
+the plain complex path via partial_schur(..., split_complex=True)."""
+
+import numpy as np
+import pytest
+
+from arnoldimethod_tpu import partial_schur
+from arnoldimethod_tpu.models.operators import SplitComplexDenseOperator
+
+
+def _rand_complex(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+
+
+def test_sc_operator_matvec():
+    import jax.numpy as jnp
+
+    A = _rand_complex(24, 1)
+    op = SplitComplexDenseOperator(A, word_dtype=jnp.float64)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(24) + 1j * rng.standard_normal(24)
+    yr, yi = op.matvec_sc(jnp.asarray(x.real), jnp.asarray(x.imag))
+    y = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.allclose(y, A @ x, atol=1e-10)
+
+
+@pytest.mark.parametrize("which", ["LM", "LI", "SR"])
+def test_sc_matches_plain_complex(which):
+    """Same spectrum, same Schur quality as the native complex solve."""
+    A = _rand_complex(48, 3)
+    d0, h0 = partial_schur(A, nev=6, which=which, tol=1e-9, method="host")
+    d1, h1 = partial_schur(A, nev=6, which=which, tol=1e-9,
+                           split_complex=True)
+    assert h0.converged and h1.converged
+    assert np.allclose(
+        np.sort_complex(d0.eigenvalues), np.sort_complex(d1.eigenvalues),
+        atol=1e-7,
+    )
+    Q = np.asarray(d1.Q)
+    R = np.asarray(d1.R)
+    nrm = np.linalg.norm(A)
+    assert np.linalg.norm(A @ Q - Q @ R) < 1e-8 * nrm
+    assert np.linalg.norm(Q.conj().T @ Q - np.eye(Q.shape[1])) < 1e-10
+
+
+def test_sc_identical_counts_same_seed():
+    """With the same RNG the split-complex DGKS is the same algorithm:
+    identical matvec counts as the plain complex path."""
+    A = _rand_complex(40, 5)
+    d0, h0 = partial_schur(A, nev=5, which="LM", tol=1e-8, method="host")
+    d1, h1 = partial_schur(A, nev=5, which="LM", tol=1e-8,
+                           split_complex=True)
+    assert h1.mvproducts == h0.mvproducts
+    assert h1.restarts == h0.restarts
+
+
+def test_sc_warm_start():
+    """start_from resumes a split-complex workspace (Vim round-trips)."""
+    from arnoldimethod_tpu.workspace import ArnoldiWorkspace
+    import jax.numpy as jnp
+
+    A = _rand_complex(40, 7)
+    ws = ArnoldiWorkspace(40, 16, dtype=jnp.float64)
+    d0, h0 = partial_schur(A, nev=4, which="LM", tol=1e-9, maxdim=16,
+                           mindim=8, workspace=ws, split_complex=True)
+    assert h0.converged
+    d1, h1 = partial_schur(A, nev=6, which="LM", tol=1e-9, maxdim=16,
+                           mindim=8, workspace=ws, split_complex=True,
+                           start_from=h0.nconverged)
+    assert h1.converged
+    lam_ref = np.linalg.eigvals(A)
+    lam_ref = lam_ref[np.argsort(-np.abs(lam_ref))][:6]
+    assert np.allclose(
+        np.sort_complex(d1.eigenvalues), np.sort_complex(lam_ref), atol=1e-6
+    )
+
+
+def test_sc_breakdown_rank_deficient():
+    """Invariant-subspace breakdown reinit in split-complex arithmetic."""
+    rng = np.random.default_rng(11)
+    U = np.linalg.qr(rng.standard_normal((12, 3))
+                     + 1j * rng.standard_normal((12, 3)))[0]
+    A = U @ np.diag([4.0 + 1j, 3.0 - 2j, 1.0]) @ U.conj().T
+    d, h = partial_schur(A, nev=3, which="LM", tol=1e-9, mindim=3, maxdim=7,
+                         split_complex=True)
+    assert h.converged
+    assert np.allclose(
+        np.sort_complex(d.eigenvalues),
+        np.sort_complex(np.array([1.0, 3.0 - 2j, 4.0 + 1j])),
+        atol=1e-8,
+    )
