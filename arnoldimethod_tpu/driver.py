@@ -321,6 +321,15 @@ def partial_schur(
     laplacian_1d, tridiagonal, ...) does.  Forces method="host" (the
     dense restart layer runs in host float64, far below the double-word
     noise floor).
+
+    `split_complex` (default None = automatic): complex matrices on TPU
+    backends run through the SPLIT-COMPLEX path (ops/sc_expansion.py) —
+    the Krylov basis is a real (re, im) pair on device, since TPU
+    runtimes cannot transfer complex arrays at all; the dense restart
+    layer runs in host complex128.  Dense complex inputs work out of the
+    box; matrix-free operators implement `matvec_sc(xr, xi) -> (yr, yi)`.
+    Pass True to force the path on any platform (the CPU oracle used in
+    tests), False to forbid it.
     """
     op = as_operator(A, n=n, dtype=dtype)
     n = op.shape[0]
