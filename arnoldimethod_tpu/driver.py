@@ -625,7 +625,10 @@ def _partial_schur_device(op, ws, mindim, maxdim, nev, tol, restarts, target, ke
 
     ws.V = V
     ws.H[:] = Hh
-    ws.Vlo = None  # single-word path: any extended low word is stale now
+    # Real single-word path: extended / split-complex extra words from any
+    # previous run on this workspace are stale now.
+    ws.Vlo = None
+    ws.Vim = None
 
     history = History(
         int(prods),
@@ -1030,8 +1033,10 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
     # extended run; a plain solve invalidates it (V moved without lo
     # tracking).
     ws.Vlo = Vlo if extended else None
-    if sc:
-        ws.Vim = Vim
+    # A plain solve moves V without tracking an imaginary word, so any
+    # split-complex state from a previous run is stale now (same rule as
+    # the extended low word above).
+    ws.Vim = Vim if sc else None
 
     history = History(prods, nconverged, nconverged >= nev, nev, restarts=it,
                       purges=purge_events, timings=timings)

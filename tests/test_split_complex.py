@@ -91,3 +91,22 @@ def test_sc_breakdown_rank_deficient():
         np.sort_complex(np.array([1.0, 3.0 - 2j, 4.0 + 1j])),
         atol=1e-8,
     )
+
+
+def test_sc_state_invalidated_by_plain_solve():
+    """A plain real solve on a reused workspace clears the stale
+    imaginary word (same rule as the extended low word)."""
+    from arnoldimethod_tpu.workspace import ArnoldiWorkspace
+    import jax.numpy as jnp
+
+    A = _rand_complex(32, 9)
+    ws = ArnoldiWorkspace(32, 12, dtype=jnp.float64)
+    partial_schur(A, nev=3, which="LM", tol=1e-8, maxdim=12, mindim=6,
+                  workspace=ws, split_complex=True)
+    assert ws.Vim is not None
+    B = np.real(A @ A.conj().T)
+    ws2 = ArnoldiWorkspace(32, 12, dtype=jnp.float64)
+    ws2.Vim = ws.Vim  # simulate stale reuse
+    partial_schur(B, nev=3, which="LM", tol=1e-8, maxdim=12, mindim=6,
+                  workspace=ws2, method="host")
+    assert ws2.Vim is None
