@@ -461,6 +461,53 @@ def e2e_10m_nev100():
     }
 
 
+def e2e_16m_nev20():
+    """Largest-n end-to-end solve: nev=20 smallest of the 16,777,216-row
+    (4096x4096) 2-D Laplacian on one chip — the 13.5 GB-basis regime is
+    covered by e2e10m (nev=100); this phase covers maximum n.  Same
+    Chebyshev recipe; the (41, 16.8M) basis is 2.8 GB."""
+    _jax()
+    import numpy as np
+
+    from arnoldimethod_tpu import (
+        ChebyshevFilterOperator,
+        estimate_interval,
+        partial_schur,
+        rayleigh_ritz,
+    )
+
+    s, N, nev, deg = 0.130, 4096, 20, 800
+    op = _stencil_op(N)
+    lam1 = s * (2 - 2 * np.cos(np.pi * np.arange(1, N + 1) / (N + 1)))
+    exact = np.sort(np.add.outer(lam1, lam1).ravel())[:nev]
+
+    t0 = time.perf_counter()
+    iv = estimate_interval(op, nev=nev, refine=4, refine_degree=400)
+    t_interval = time.perf_counter() - t0
+    fop = ChebyshevFilterOperator(op, iv.a, iv.b, deg, scale_point=iv.lo)
+    t0 = time.perf_counter()
+    decomp, history = partial_schur(fop, nev=nev, which="LM", tol=1e-7,
+                                    method="host")
+    t_solve = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    w, _, res = rayleigh_ritz(op, decomp.Q_rows, rows_layout=True,
+                              return_vectors=False)
+    t_rr = time.perf_counter() - t0
+    w = np.sort(np.asarray(w).real)
+    err = float(np.max(np.abs(w[:nev] - exact)))
+    return {
+        "e2e16m_n": op.shape[0],
+        "e2e16m_wall_s": round(t_interval + t_solve + t_rr, 2),
+        "e2e16m_interval_s": round(t_interval, 2),
+        "e2e16m_solve_s": round(t_solve, 2),
+        "e2e16m_restarts": history.restarts,
+        "e2e16m_filtered_matvecs": history.mvproducts,
+        "e2e16m_converged": bool(history.converged),
+        "e2e16m_max_resid": float(f"{res[:nev].max():.3e}"),
+        "e2e16m_eig_err": float(f"{err:.3e}"),
+    }
+
+
 def e2e_1m_device():
     """The fused on-device solver at the config-2 scale (n=1M, nev=20,
     maxdim=80) — the exact configuration whose single-dispatch execution
@@ -929,6 +976,7 @@ PHASES = {
     "e2e65k": e2e_65k_fused,
     "e2e1m": e2e_1m,
     "e2e10m": e2e_10m_nev100,
+    "e2e16m": e2e_16m_nev20,
     "e2e1mdev": e2e_1m_device,
     "e2e1mcheb": e2e_1m_cheb,
     "conv": conv_diffusion,
@@ -951,6 +999,7 @@ PHASE_ORDER = [
     "conv",
     "e2e65k",
     "e2e10m",
+    "e2e16m",
     "bsr",
     "spmvcsr",
     "spmv16m",
