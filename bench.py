@@ -10,11 +10,16 @@ Prints ONE JSON line:
     readme_*      solve wall cold/warm + host/device latency breakdown
     spmv_*        Pallas 5-point stencil nnz/s on 1M rows
     spmv_16m_*    same on 16M rows (4096x4096 grid)
-    roofline_*    HBM memcpy bandwidth, XLA-stencil nnz/s, and the Pallas
-                  kernel's fraction of the memcpy roofline
+    roofline_*    HBM memcpy bandwidth, XLA / halo-DMA / sliding-window
+                  stencil nnz/s, and the best fraction of memcpy
     e2e1m_*       config 2: 1M-row 2-D Laplacian, nev=20 smallest
-    conv_*        config 3: convection-diffusion :LM with complex pairs
+                  (host, fused-device, and Chebyshev-filtered variants)
+    e2e10m_*      NORTH STAR: nev=100 of the 10.24M-row Laplacian
+    e2e16m_*      largest n: nev=20 of the 16.8M-row Laplacian
+    conv_*        config 3: convection-diffusion :LM, extended=True
     shiftinv_*    config 4: n=6000 tridiagonal shift-invert solve
+    complexsc_*   complex matrix / :LI target via split-complex on chip
+    spmv_csr_*    irregular sparsity: gather roofline + SELL + block SpMM
     bsr_*         BSR Pallas kernel nnz/s + effective GB/s vs einsum
     kernels_*     compiled (non-interpret) Pallas vs XLA equality on-device
 
@@ -1004,8 +1009,8 @@ PHASE_ORDER = [
     "spmvcsr",
     "spmv16m",
     "e2e1mcheb",
-    "e2e1mdev",
     "e2e1m",
+    "e2e1mdev",
 ]
 
 
