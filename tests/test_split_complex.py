@@ -95,19 +95,25 @@ def test_sc_breakdown_rank_deficient():
 
 def test_sc_state_invalidated_by_plain_solve():
     """A plain real solve on a reused workspace clears the stale
-    imaginary word (same rule as the extended low word)."""
+    imaginary word (same rule as the extended low word).
+
+    Shapes deliberately match test_sc_warm_start (n=40, maxdim=16) so
+    the solves hit the jit cache: a FRESH XLA CPU compile at this point
+    of a full-suite session segfaults inside backend_compile (an XLA
+    bug keyed on accumulated session state, not on this program — the
+    identical test passes in any shorter session)."""
     from arnoldimethod_tpu.workspace import ArnoldiWorkspace
     import jax.numpy as jnp
 
-    A = _rand_complex(32, 9)
-    ws = ArnoldiWorkspace(32, 12, dtype=jnp.float64)
-    partial_schur(A, nev=3, which="LM", tol=1e-8, maxdim=12, mindim=6,
+    A = _rand_complex(40, 9)
+    ws = ArnoldiWorkspace(40, 16, dtype=jnp.float64)
+    partial_schur(A, nev=4, which="LM", tol=1e-8, maxdim=16, mindim=8,
                   workspace=ws, split_complex=True)
     assert ws.Vim is not None
     B = np.real(A @ A.conj().T)
-    ws2 = ArnoldiWorkspace(32, 12, dtype=jnp.float64)
+    ws2 = ArnoldiWorkspace(40, 16, dtype=jnp.float64)
     ws2.Vim = ws.Vim  # simulate stale reuse
-    partial_schur(B, nev=3, which="LM", tol=1e-8, maxdim=12, mindim=6,
+    partial_schur(B, nev=4, which="LM", tol=1e-8, maxdim=16, mindim=8,
                   workspace=ws2, method="host")
     assert ws2.Vim is None
 
