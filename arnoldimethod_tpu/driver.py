@@ -403,6 +403,23 @@ def partial_schur(
         sc = bool(split_complex) and jnp.issubdtype(
             work_dtype, jnp.complexfloating
         )
+        if not sc and jnp.issubdtype(work_dtype, jnp.complexfloating):
+            # split_complex=False with a complex dtype: on TPU the only
+            # alternative is a native complex device basis, which this
+            # module documents as fatal (readbacks fail UNIMPLEMENTED
+            # and poison the stream) — fail loudly instead (ADVICE r4).
+            platform = (
+                next(iter(sharding.device_set)).platform
+                if sharding is not None
+                else jax.local_devices()[0].platform
+            )
+            if platform == "tpu":
+                raise NotImplementedError(
+                    "split_complex=False with a complex dtype cannot run "
+                    "on TPU backends (complex device<->host transfers are "
+                    "unimplemented in the TPU runtime); drop the flag or "
+                    "solve on a CPU mesh — see docs/precision.md."
+                )
     if sc and not hasattr(op, "matvec_sc"):
         from .models.operators import SplitComplexDenseOperator
 

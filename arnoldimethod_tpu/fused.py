@@ -268,7 +268,11 @@ def fused_solve(op, V, H, nev, mindim, tol, restarts, key, which, active0=0,
         # chunk small once more so the second (warm) timing sets the rate.
         if not first:
             per_restart = max(wall / chunk, 1e-4)
-            chunk = int(min(_CHUNK_MAX, max(8, _CHUNK_SECONDS / per_restart)))
+            # Floor at 1, not a fixed minimum: for slow configs (large
+            # n x maxdim) an 8-restart floor could push one dispatch past
+            # the ~160 s worker-kill threshold — _CHUNK_SECONDS must stay
+            # authoritative (ADVICE r4).
+            chunk = int(min(_CHUNK_MAX, max(1, _CHUNK_SECONDS / per_restart)))
         first = False
 
     V, H, active, prods, it, purges, done, qr_ok = state

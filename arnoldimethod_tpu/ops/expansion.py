@@ -228,16 +228,28 @@ def _tiled_basis_change(V, Qbig, tiles):
     past HBM.  Each output tile depends only on the SAME input tile
     (columns are independent in Qbig^T V), so a fori_loop of
     dynamic_slice -> small GEMM -> dynamic_update_slice on the donated V
-    is exact and bounds the extra memory to one (m+1, n/tiles) tile."""
+    is exact and bounds the extra memory to one (m+1, n/tiles) tile.
+
+    `tiles` need not divide n: the loop covers ceil-width full tiles and
+    the (static) ragged remainder gets one last in-place update — an
+    overlapping clamped dynamic_slice would apply Qbig^T twice to
+    already-updated columns, so the remainder MUST be its own exact-width
+    slice (ADVICE r4 medium finding)."""
     m1, n = V.shape
-    T = n // tiles
+    T = -(-n // tiles)  # ceil: full tiles of width T, then the remainder
+    full = n // T
+    rem = n - full * T
 
     def body(i, V):
         tile = lax.dynamic_slice(V, (0, i * T), (m1, T))
         new = jnp.matmul(Qbig.T, tile, precision=_PREC)
         return lax.dynamic_update_slice(V, new, (0, i * T))
 
-    return lax.fori_loop(0, tiles, body, V)
+    V = lax.fori_loop(0, full, body, V)
+    if rem:  # static at trace time (n, tiles both static)
+        new = jnp.matmul(Qbig.T, V[:, full * T :], precision=_PREC)
+        V = lax.dynamic_update_slice(V, new, (0, full * T))
+    return V
 
 
 # Tile target ~256 MB; tiling kicks in above 2 GB of basis (below that a
@@ -247,13 +259,11 @@ TILED_THRESHOLD_BYTES = 1 << 31
 
 
 def pick_tiles(n, row_bytes):
-    """Smallest divisor `tiles` of n with n/tiles * row_bytes <= ~256 MB
-    (0 -> caller should use the untiled path)."""
-    target = max(1, -(-n * row_bytes // _TILE_BYTES))
-    for tiles in range(int(target), n + 1):
-        if n % tiles == 0:
-            return tiles
-    return 1
+    """Tile count with n/tiles * row_bytes <= ~256 MB.  Divisibility is
+    NOT required (_tiled_basis_change handles a ragged remainder tile),
+    so this is a plain ceil-division — no divisor hunt that could return
+    tiles ~ n for prime n (ADVICE r4 medium finding)."""
+    return int(max(1, -(-n * row_bytes // _TILE_BYTES)))
 
 
 @partial(jax.jit, static_argnames=("tiles",), donate_argnums=(1, 2))

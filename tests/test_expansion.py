@@ -119,18 +119,24 @@ def test_tiled_basis_change_matches_plain():
     V = jax.random.normal(k1, (9, 48), dtype=jnp.float32)
     Qbig = jax.random.normal(k2, (9, 9), dtype=jnp.float32)
     ref = E.apply_basis_change(jnp.array(V), jnp.array(Qbig))
-    for tiles in (1, 2, 4, 48):
+    # 5, 7, 11 do not divide 48: exercises the ragged remainder tile
+    # (ADVICE r4 medium — the old divisor-only path degenerated for
+    # prime n).
+    for tiles in (1, 2, 4, 5, 7, 11, 48):
         out = E.apply_basis_change_tiled(jnp.array(V), Qbig, tiles=tiles)
         assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
-def test_pick_tiles_divides():
+def test_pick_tiles_bounded():
+    """pick_tiles keeps each tile under ~256 MB WITHOUT requiring a
+    divisor of n — for prime n it must not degenerate toward n tiles."""
     from arnoldimethod_tpu.ops.expansion import pick_tiles
 
-    for n in (1 << 24, 10_240_000, 96):
+    for n in (1 << 24, 10_240_000, 10_000_019, 96):  # incl. a prime
         t = pick_tiles(n, 201 * 4)
-        assert n % t == 0
-        assert n // t * 201 * 4 <= (1 << 28) or t == n
+        assert -(-n // t) * 201 * 4 <= (1 << 28)
+        # never more than one tile past the ideal count
+        assert t <= max(1, -(-n * 201 * 4 // (1 << 28)))
 
 
 def test_driver_tiled_threshold_solve(monkeypatch):
