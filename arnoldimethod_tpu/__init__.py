@@ -32,6 +32,7 @@ from .workspace import ArnoldiWorkspace
 from .models.operators import (
     CsrOperator,
     SellOperator,
+    SplitComplexOperator,
     DenseOperator,
     DiaOperator,
     EllOperator,
@@ -66,6 +67,7 @@ __all__ = [
     "EllOperator",
     "CsrOperator",
     "SellOperator",
+    "SplitComplexOperator",
     "ShardedCsrOperator",
     "FunctionOperator",
     "ShiftInvertDenseOperator",

@@ -273,6 +273,7 @@ def partial_schur(
     extended=False,
     lowsync=False,
     split_complex=None,
+    sparse_format="auto",
 ):
     """Compute an approximate partial Schur decomposition A Q = Q R with
     `nev` eigenvalues near the target `which`.
@@ -330,8 +331,15 @@ def partial_schur(
     box; matrix-free operators implement `matvec_sc(xr, xi) -> (yr, yi)`.
     Pass True to force the path on any platform (the CPU oracle used in
     tests), False to forbid it.
+
+    `sparse_format` ("auto" default): scipy.sparse input is repacked
+    into the fastest measured TPU layout for its pattern — DIA (banded),
+    BSR (clustered), or SELL (irregular) — per
+    models.operators.pick_sparse_format; pass "csr" to keep the plain
+    CSR gather path or a layout name to force one.  Ignored for
+    operator/dense/callable input.
     """
-    op = as_operator(A, n=n, dtype=dtype)
+    op = as_operator(A, n=n, dtype=dtype, sparse_format=sparse_format)
     n = op.shape[0]
     if op.shape[0] != op.shape[1]:
         raise ValueError("matrix is not square")

@@ -11,11 +11,15 @@ structure is static.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax.tree_util import register_pytree_node_class
+
+_LOG = logging.getLogger("arnoldimethod_tpu")
 
 __all__ = [
     "LinearOperator",
@@ -28,9 +32,12 @@ __all__ = [
     "FunctionOperator",
     "ShiftInvertDenseOperator",
     "SplitComplexDenseOperator",
+    "SplitComplexOperator",
     "TridiagonalShiftInvertOperator",
     "as_operator",
     "csr_to_ell",
+    "csr_to_dia",
+    "pick_sparse_format",
 ]
 
 
@@ -230,12 +237,34 @@ class Stencil5Operator(LinearOperator):
     """
 
     def __init__(self, coeffs, grid, dtype=jnp.float32, use_pallas=None):
-        # coeffs: (center, west, east, north, south) scalars.
-        self.coeffs = tuple(float(c) for c in coeffs)
+        # coeffs: (center, west, east, north, south) scalars — real or
+        # complex.  Complex coefficients make this a complex operator:
+        # `dtype` becomes complex64/128, device work runs through the
+        # fused split-complex matvec_sc (TPU has no complex dtypes).
+        cs = tuple(complex(c) for c in coeffs)
+        self._complex_coeffs = any(c.imag != 0.0 for c in cs)
+        self.coeffs = cs if self._complex_coeffs else tuple(
+            c.real for c in cs
+        )
         self.grid = (int(grid[0]), int(grid[1]))  # (ny, nx)
         n = self.grid[0] * self.grid[1]
         self.shape = (n, n)
-        self.dtype = jnp.dtype(dtype)
+        dt = jnp.dtype(dtype)
+        if jnp.issubdtype(dt, jnp.complexfloating):
+            word = (
+                jnp.dtype("float32")
+                if dt == jnp.dtype("complex64")
+                else jnp.dtype("float64")
+            )
+        elif self._complex_coeffs:
+            word = dt
+            dt = jnp.dtype(
+                "complex64" if word == jnp.dtype("float32") else "complex128"
+            )
+        else:
+            word = dt
+        self.dtype = dt
+        self.word_dtype = word
         # None = auto: the XLA formulation everywhere (measured faster
         # than the Pallas halo-DMA kernel — see matvec).  bench.py's
         # `roofline` phase measures both formulations side by side
@@ -251,8 +280,39 @@ class Stencil5Operator(LinearOperator):
         # center everywhere; west/east miss one column; north/south one row.
         return n + 2 * ny * (nx - 1) + 2 * (ny - 1) * nx
 
+    def matvec_sc(self, xr, xi):
+        """Split-complex stencil application (yr, yi) = A @ (xr + i*xi)
+        for complex coefficients, fused so xr/xi are each read ONCE and
+        yr/yi written once — half the HBM traffic of composing two real
+        stencil passes per output part.  Also exact for real
+        coefficients (the imaginary terms fold to zero constants)."""
+        ny, nx = self.grid
+        gr, gi = xr.reshape(ny, nx), xi.reshape(ny, nx)
+        gpr = jnp.pad(gr, ((1, 1), (1, 1)))
+        gpi = jnp.pad(gi, ((1, 1), (1, 1)))
+        views = (
+            (gr, gi),
+            (gpr[1:-1, :-2], gpi[1:-1, :-2]),
+            (gpr[1:-1, 2:], gpi[1:-1, 2:]),
+            (gpr[:-2, 1:-1], gpi[:-2, 1:-1]),
+            (gpr[2:, 1:-1], gpi[2:, 1:-1]),
+        )
+        yr = yi = 0.0
+        for c, (tr, ti) in zip(self.coeffs, views):
+            cr, ci = float(np.real(c)), float(np.imag(c))
+            yr = yr + cr * tr - ci * ti
+            yi = yi + cr * ti + ci * tr
+        return yr.reshape(ny * nx), yi.reshape(ny * nx)
+
     def matvec(self, x):
         ny, nx = self.grid
+        if self._complex_coeffs:
+            # CPU-oracle path: complex in/out through the split kernel.
+            yr, yi = self.matvec_sc(
+                jnp.real(x).astype(self.word_dtype),
+                jnp.imag(x).astype(self.word_dtype),
+            )
+            return yr + 1j * yi
         use_pallas = self.use_pallas
         if use_pallas is None:
             # Auto: the sliding-window Pallas kernel on a single TPU chip
@@ -343,18 +403,43 @@ def dia_from_diagonals(diagonals, shape, dtype=None):
     """Build a DiaOperator from {offset: values}: values may be a scalar
     (constant diagonal) or an array of length n; entry d of the diagonal at
     `offset` multiplies x[i + offset] in row i.  Out-of-range positions are
-    zeroed."""
+    zeroed.
+
+    Complex values (or a complex `dtype`) return a `SplitComplexOperator`
+    over two real DiaOperators — the TPU-runnable form of a complex
+    banded matrix (TPU has no complex dtypes); its `matvec` still accepts
+    complex vectors on CPU oracle paths."""
     offsets = sorted(diagonals)
     n = shape[0]
-    dtype = dtype or np.float64
-    diags = np.zeros((len(offsets), n), dtype=dtype)
+    values_complex = any(
+        np.iscomplexobj(np.asarray(v)) for v in diagonals.values()
+    )
+    dtype = dtype or (np.complex128 if values_complex else np.float64)
+    if np.issubdtype(np.dtype(dtype), np.complexfloating) or values_complex:
+        word = (
+            np.float32
+            if np.dtype(dtype) == np.dtype("complex64")
+            else np.float64
+        )
+        diags = np.zeros((len(offsets), n), dtype=np.complex128)
+    else:
+        word = None
+        diags = np.zeros((len(offsets), n), dtype=dtype)
     for d, off in enumerate(offsets):
         diags[d, :] = diagonals[off]
         if off > 0:
             diags[d, n - off :] = 0
         elif off < 0:
             diags[d, :-off] = 0
-    return DiaOperator(diags, offsets, shape)
+    if word is None:
+        return DiaOperator(diags, offsets, shape)
+    re = DiaOperator(diags.real.astype(word), offsets, shape)
+    im = (
+        DiaOperator(diags.imag.astype(word), offsets, shape)
+        if np.any(diags.imag)
+        else None
+    )
+    return SplitComplexOperator(re, im)
 
 
 @register_pytree_node_class
@@ -1251,14 +1336,195 @@ class SplitComplexDenseOperator(LinearOperator):
         return obj
 
 
-def as_operator(A, n=None, dtype=None):
+@register_pytree_node_class
+class SplitComplexOperator(LinearOperator):
+    """Complex sparse / matrix-free operator held as TWO REAL operators,
+    A = re + i*im — the TPU-native complex-sparse path.
+
+    The reference handles complex sparse matrices through the same
+    `mul!` contract as everything else (run.jl:21-23, expansion.jl:121);
+    TPU runtimes have no usable complex dtypes, so here the parts are
+    real operators of ANY format (Dia, Stencil5, Csr, Sell, Bsr, Ell,
+    FunctionOperator ...) and `matvec_sc(xr, xi) -> (yr, yi)` is four
+    real matvecs (two when the matrix is purely real or purely
+    imaginary) — every format's TPU kernel, including the Pallas ones,
+    is reused unchanged.  The driver routes complex dtypes through
+    ops/sc_expansion.py on TPU backends; `matvec` (complex in/out)
+    exists for CPU-oracle paths.  Either part may be None (zero part).
+    """
+
+    def __init__(self, re_op=None, im_op=None):
+        if re_op is None and im_op is None:
+            raise ValueError("need at least one of re_op / im_op")
+        self.re = re_op
+        self.im = im_op
+        some = re_op if re_op is not None else im_op
+        self.shape = tuple(some.shape)
+        word = jnp.dtype(some.dtype)
+        if jnp.issubdtype(word, jnp.complexfloating):
+            raise ValueError("the re/im parts must be REAL operators")
+        self.dtype = jnp.dtype(
+            "complex64" if word == jnp.dtype("float32") else "complex128"
+        )
+        self.word_dtype = word
+
+    @property
+    def nnz(self):
+        return sum(
+            int(o.nnz) for o in (self.re, self.im) if o is not None
+        )
+
+    def matvec_sc(self, xr, xi):
+        """(yr, yi) = A @ (xr + i*xi):
+        yr = Re(A) xr - Im(A) xi,  yi = Re(A) xi + Im(A) xr."""
+        yr = yi = None
+        if self.re is not None:
+            yr, yi = self.re.matvec(xr), self.re.matvec(xi)
+        if self.im is not None:
+            tr, ti = self.im.matvec(xi), self.im.matvec(xr)
+            yr = -tr if yr is None else yr - tr
+            yi = ti if yi is None else yi + ti
+        return yr, yi
+
+    def matvec(self, x):
+        yr, yi = self.matvec_sc(
+            jnp.real(x).astype(self.word_dtype),
+            jnp.imag(x).astype(self.word_dtype),
+        )
+        return yr + 1j * yi
+
+    def matvec_cost_hint(self):
+        return 2.0 * sum(
+            o.matvec_cost_hint() for o in (self.re, self.im)
+            if o is not None
+        )
+
+    def _map_parts(self, f):
+        return SplitComplexOperator(
+            f(self.re) if self.re is not None else None,
+            f(self.im) if self.im is not None else None,
+        )
+
+    def to_sell(self):
+        return self._map_parts(lambda o: o.to_sell())
+
+    def to_ell(self):
+        return self._map_parts(lambda o: o.to_ell())
+
+    def tree_flatten(self):
+        return (self.re, self.im), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.re, obj.im = children
+        some = obj.re if obj.re is not None else obj.im
+        obj.shape = tuple(getattr(some, "shape", (0, 0)))
+        word = jnp.dtype(getattr(some, "dtype", jnp.float32))
+        obj.word_dtype = word
+        obj.dtype = jnp.dtype(
+            "complex64" if word == jnp.dtype("float32") else "complex128"
+        )
+        return obj
+
+
+def pick_sparse_format(indptr, indices, shape, block_size=128):
+    """Choose the fastest TPU layout for a CSR sparsity pattern, from the
+    MEASURED roofline hierarchy (docs/sparse.md):
+
+      dia   banded: no gather at all, streams at the memcpy roofline
+            (hundreds of Gnnz/s) — accepted when <= 32 distinct
+            diagonals cover the pattern with <= 4x storage fill;
+      bsr   clustered: the Pallas block kernel streams block data at the
+            HBM roofline (~746 GB/s measured) — accepted when 128x128
+            blocking fills <= 16x (the effective per-true-nnz rate still
+            dwarfs the gather-bound formats) and the block data stays
+            under ~2 GB;
+      sell  everything else: bucketed-ELL runs at ~80% of the measured
+            per-address gather roofline and 1.6x the CSR
+            gather+segment_sum path — and no single-vector kernel can
+            beat the gather bound on this hardware (docs/sparse.md has
+            the impossibility argument).
+
+    Returns (format_name, info_dict).  Pattern analysis is host-side
+    numpy over the index arrays only (no matrix data touched).
+    """
+    n = int(shape[0])
+    indptr = np.asarray(indptr)
+    indices = np.asarray(indices, dtype=np.int64)
+    nnz = int(indices.size)
+    if nnz == 0:
+        return "sell", {"reason": "empty"}
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    ndiag = int(np.unique(indices - rows).size)
+    if ndiag <= 32 and ndiag * n <= 4 * nnz:
+        return "dia", {"ndiag": ndiag}
+    B = int(block_size)
+    nb = -(-n // B)
+    nblocks = int(np.unique((rows // B) * nb + indices // B).size)
+    fill = nblocks * B * B / nnz
+    if fill <= 16 and nblocks * B * B * 8 <= (2 << 30):
+        return "bsr", {"fill": round(float(fill), 2)}
+    return "sell", {"bsr_fill": round(float(fill), 2)}
+
+
+def csr_to_dia(indptr, indices, data, shape):
+    """Exact DIA repack of a canonical CSR triple (unique, sorted column
+    indices per row — scipy's tocsr() guarantees this)."""
+    n = int(shape[0])
+    indptr = np.asarray(indptr)
+    indices = np.asarray(indices, dtype=np.int64)
+    data = np.asarray(data)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    offs, inv = np.unique(indices - rows, return_inverse=True)
+    diags = np.zeros((offs.size, n), dtype=data.dtype)
+    diags[inv, rows] = data
+    return DiaOperator(diags, [int(o) for o in offs], shape)
+
+
+def _format_csr(csr_op, sparse_format, block_size=128):
+    """Apply the requested (or auto-selected) sparse layout to a freshly
+    built CsrOperator."""
+    if sparse_format == "csr":
+        return csr_op
+    fmt = sparse_format
+    if sparse_format in (None, "auto"):
+        fmt, info = pick_sparse_format(
+            np.asarray(csr_op.indptr), np.asarray(csr_op.indices),
+            csr_op.shape, block_size,
+        )
+        _LOG.info(
+            "as_operator: sparse format auto-selected -> %s %s "
+            "(override with sparse_format=)", fmt, info,
+        )
+    if fmt == "dia":
+        return csr_to_dia(
+            np.asarray(csr_op.indptr), np.asarray(csr_op.indices),
+            np.asarray(csr_op.data), csr_op.shape,
+        )
+    if fmt == "bsr":
+        return csr_op.to_bsr(block_size)
+    if fmt == "sell":
+        return csr_op.to_sell()
+    if fmt == "ell":
+        return csr_op.to_ell()
+    raise ValueError(
+        f"unknown sparse_format {fmt!r}: expected one of "
+        "'auto', 'csr', 'dia', 'bsr', 'sell', 'ell'"
+    )
+
+
+def as_operator(A, n=None, dtype=None, sparse_format="auto"):
     """Coerce A (operator, 2-D array, scipy.sparse matrix, or callable) to
     a LinearOperator.
 
-    scipy.sparse inputs become `CsrOperator`s (the reference's sparse
-    examples all start from SparseArrays matrices — test/schur_to_eigen.jl:
-    7-12 — so this is the drop-in path for users arriving with scipy
-    matrices); integer/bool sparse data is promoted to float64 like the
+    scipy.sparse inputs are repacked into the fastest measured TPU layout
+    for their sparsity pattern (`pick_sparse_format`: DIA for banded, BSR
+    for clustered, SELL otherwise — the reference's sparse examples all
+    start from SparseArrays matrices, test/schur_to_eigen.jl:7-12, and
+    arrive here the same way via scipy).  `sparse_format` overrides:
+    'csr' keeps the exact gather+segment_sum CSR path, or name a layout
+    directly.  Integer/bool sparse data is promoted to float64 like the
     dense branch (vtype promotion, run.jl:9-12).
     """
     if isinstance(A, LinearOperator):
@@ -1278,13 +1544,36 @@ def as_operator(A, n=None, dtype=None):
             data = data.astype(np.float64)
         if np.issubdtype(data.dtype, np.complexfloating):
             default = jax.devices()[0].platform
-            if default not in ("cpu",):
-                raise ValueError(
-                    "complex sparse matrices are only supported on CPU "
-                    "backends (TPU has no complex dtypes); see docs/"
-                    "operators.md"
+            if default != "cpu":
+                # Complex sparse on TPU: split into two REAL CsrOperators
+                # (f32 words — TPU has no 64-bit units) and solve through
+                # the split-complex path, the same automatic wiring the
+                # dense branch gets (ref run.jl:21-23 — complex sparse
+                # rides the same mul! contract as everything else).
+                re = CsrOperator(
+                    csr.indptr, csr.indices,
+                    np.ascontiguousarray(data.real, dtype=np.float32),
+                    csr.shape,
                 )
-        return CsrOperator(csr.indptr, csr.indices, data, csr.shape)
+                im = (
+                    CsrOperator(
+                        csr.indptr, csr.indices,
+                        np.ascontiguousarray(data.imag, dtype=np.float32),
+                        csr.shape,
+                    )
+                    if np.any(data.imag)
+                    else None
+                )
+                return SplitComplexOperator(
+                    _format_csr(re, sparse_format),
+                    _format_csr(im, sparse_format)
+                    if im is not None
+                    else None,
+                )
+        return _format_csr(
+            CsrOperator(csr.indptr, csr.indices, data, csr.shape),
+            sparse_format,
+        )
     if callable(A) and not hasattr(A, "ndim"):
         if n is None or dtype is None:
             raise ValueError(

@@ -173,9 +173,19 @@ def test_as_operator_scipy_sparse():
     S = sp.diags(np.arange(1, n + 1.0)).tocsr() + 0.1 * sp.random(
         n, n, density=0.05, random_state=rng, format="csr"
     )
+    # Auto format selection: this scattered pattern picks SELL (1.6x the
+    # CSR gather path, docs/sparse.md); sparse_format="csr" keeps CSR.
+    from arnoldimethod_tpu.models.operators import SellOperator
+
     op = as_operator(S)
-    assert isinstance(op, CsrOperator)
+    assert isinstance(op, SellOperator)
     assert op.shape == (n, n)
+    op_csr = as_operator(S, sparse_format="csr")
+    assert isinstance(op_csr, CsrOperator)
+    xc = np.random.default_rng(9).standard_normal(n)
+    np.testing.assert_allclose(
+        np.asarray(op_csr.matvec(jnp.asarray(xc))), S @ xc, rtol=1e-12
+    )
     x = rng.standard_normal(n)
     np.testing.assert_allclose(
         np.asarray(op.matvec(jnp.asarray(x))), S @ x, rtol=1e-12
@@ -311,3 +321,95 @@ def test_matmat_default_path():
     X = jnp.asarray(rng.standard_normal((64, 3)), jnp.float32)
     ref = np.stack([np.asarray(op.matvec(X[:, j])) for j in range(3)], axis=1)
     assert np.allclose(np.asarray(op.matmat(X)), ref, atol=1e-5)
+
+
+def test_pick_sparse_format_hierarchy():
+    """pick_sparse_format follows the measured roofline hierarchy
+    (docs/sparse.md): DIA for banded, BSR for clustered, SELL for
+    scattered patterns."""
+    import scipy.sparse as sp
+
+    from arnoldimethod_tpu.models.operators import pick_sparse_format
+
+    # Banded: tridiagonal -> dia.
+    n = 512
+    T = sp.diags([np.ones(n - 1), 2 * np.ones(n), np.ones(n - 1)],
+                 [-1, 0, 1]).tocsr()
+    fmt, info = pick_sparse_format(T.indptr, T.indices, T.shape)
+    assert fmt == "dia" and info["ndiag"] == 3
+
+    # Clustered: a few dense 128x128 blocks -> bsr.
+    rng = np.random.default_rng(0)
+    A = np.zeros((512, 512))
+    for i in range(0, 512, 128):
+        A[i : i + 128, i : i + 128] = rng.standard_normal((128, 128))
+    B = sp.csr_matrix(A)
+    fmt, info = pick_sparse_format(B.indptr, B.indices, B.shape)
+    assert fmt == "bsr" and info["fill"] <= 1.01
+
+    # Scattered: sprand -> sell.
+    S = sp.random(2048, 2048, density=0.002, random_state=1, format="csr")
+    fmt, _ = pick_sparse_format(S.indptr, S.indices, S.shape)
+    assert fmt == "sell"
+
+
+def test_auto_format_solves_match_csr():
+    """The auto-selected layout is exact: same spectrum as the forced-CSR
+    solve for each pattern class."""
+    import scipy.sparse as sp
+
+    from arnoldimethod_tpu import partial_schur
+    from arnoldimethod_tpu.models.operators import (
+        DiaOperator,
+        SellOperator,
+        as_operator,
+    )
+
+    n = 120
+    # Banded pattern -> DiaOperator, same eigenvalues.
+    T = sp.diags(
+        [np.full(n - 1, -1.0), np.arange(1.0, n + 1), np.full(n - 1, -1.0)],
+        [-1, 0, 1],
+    ).tocsr()
+    op = as_operator(T)
+    assert isinstance(op, DiaOperator)
+    d0, h0 = partial_schur(T, nev=4, which="LM", tol=1e-9)
+    d1, h1 = partial_schur(T, nev=4, which="LM", tol=1e-9,
+                           sparse_format="csr")
+    assert h0.converged and h1.converged
+    np.testing.assert_allclose(
+        np.sort(d0.eigenvalues.real), np.sort(d1.eigenvalues.real),
+        atol=1e-8,
+    )
+
+    # Scattered pattern -> SellOperator, same eigenvalues.
+    rng = np.random.default_rng(5)
+    S = sp.diags(np.arange(1, n + 1.0)).tocsr() + 0.1 * sp.random(
+        n, n, density=0.05, random_state=rng, format="csr"
+    )
+    assert isinstance(as_operator(S), SellOperator)
+    d2, h2 = partial_schur(S, nev=4, which="LM", tol=1e-9)
+    d3, h3 = partial_schur(S, nev=4, which="LM", tol=1e-9,
+                           sparse_format="csr")
+    assert h2.converged and h3.converged
+    np.testing.assert_allclose(
+        np.sort_complex(d2.eigenvalues), np.sort_complex(d3.eigenvalues),
+        atol=1e-8,
+    )
+
+
+def test_csr_to_dia_exact():
+    import scipy.sparse as sp
+
+    from arnoldimethod_tpu.models.operators import csr_to_dia
+
+    n = 40
+    T = sp.diags(
+        [np.arange(1.0, n - 1), 2 * np.ones(n), np.full(n - 3, -0.5)],
+        [-2, 0, 3],
+    ).tocsr()
+    op = csr_to_dia(T.indptr, T.indices, T.data, T.shape)
+    x = np.random.default_rng(2).standard_normal(n)
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(jnp.asarray(x))), T @ x, rtol=1e-12
+    )

