@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..ops.dd import copysign_, hypot_, sqrt_
 from .rotations import givens, lmul2, rmul2
 
 __all__ = ["reflector", "restore_arnoldi"]
@@ -30,13 +31,16 @@ def reflector(y):
     Based on the LAPACK 3.8 clarfg recipe (ref: restore_hessenberg.jl:16-45).
     """
     k = y.shape[0]
-    xnrm2 = float(np.sum(np.abs(y[: k - 1]) ** 2))
+    # No float() collapse: in double-double mode (ops/dd.py) the norm
+    # must keep its low word — a rounded reflector would cap Q's
+    # orthogonality at f64.
+    xnrm2 = np.sum(np.abs(y[: k - 1]) ** 2)
     alpha = y[k - 1]
 
-    if xnrm2 == 0 and np.imag(alpha) == 0:
+    if xnrm2 == 0 and alpha.imag == 0:
         return 0 * alpha
 
-    beta = -np.copysign(np.hypot(abs(alpha), np.sqrt(xnrm2)), np.real(alpha))
+    beta = -copysign_(hypot_(abs(alpha), sqrt_(xnrm2)), alpha.real)
     tau = (beta - alpha) / beta
     y[: k - 1] *= 1 / (alpha - beta)
     y[k - 1] = beta

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..ops.dd import sqrt_
+
 __all__ = [
     "givens",
     "lmul2",
@@ -48,7 +50,7 @@ def givens(f, g):
     scale = max(fa, ga)
     fs = f / scale
     gs = g / scale
-    d = np.sqrt(abs(fs) ** 2 + abs(gs) ** 2)
+    d = sqrt_(abs(fs) ** 2 + abs(gs) ** 2)
     sgn_f = f / fa
     c = abs(fs) / d
     s = sgn_f * np.conj(gs) / d

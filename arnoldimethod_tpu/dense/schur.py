@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..ops.dd import copysign_, hypot_, sign_, sqrt_
 from .rotations import givens, lmul2, lmul3, rmul2, rmul3
 
 __all__ = [
@@ -46,7 +47,7 @@ def upper_triangular_2x2(h11, h12, h21, h22):
     eigenvalues do not lose the discriminant to cancellation
     (ref: schurfact.jl:327-357).
     """
-    if h21 == 0 or (h11 == h22 and np.sign(h12) != np.sign(h21)):
+    if h21 == 0 or (h11 == h22 and sign_(h12) != sign_(h21)):
         return False, 1.0, 0.0
     if h12 == 0:
         return True, 0.0, 1.0
@@ -55,15 +56,15 @@ def upper_triangular_2x2(h11, h12, h21, h22):
     # ((h11 - h22)/2)^2 + h12*h21 < 0  <=>  conjugate pair.
     p = (h11 - h22) / 2
     bcmax = max(abs(h12), abs(h21))
-    bcmis = min(abs(h12), abs(h21)) * np.sign(h12) * np.sign(h21)
+    bcmis = min(abs(h12), abs(h21)) * sign_(h12) * sign_(h21)
     scale = max(abs(p), bcmax)
     z = (p / scale) * p + (bcmax / scale) * bcmis
     if z < 0:
         return False, 1.0, 0.0
 
     # Perfect Wilkinson shift: pick the root that avoids cancellation.
-    h11_minus_lam = p + np.copysign(np.sqrt(scale) * np.sqrt(z), p)
-    nrm = np.hypot(h21, h11_minus_lam)
+    h11_minus_lam = p + copysign_(sqrt_(scale) * sqrt_(z), p)
+    nrm = hypot_(h21, h11_minus_lam)
     return True, h11_minus_lam / nrm, h21 / nrm
 
 
@@ -84,7 +85,7 @@ def use_single_shift(h11, h12, h21, h22):
     if d > 0:
         return False, 0.0
 
-    sqrt_discr = np.sqrt(abs(d))
+    sqrt_discr = sqrt_(abs(d))
     lam1 = t + sqrt_discr
     lam2 = t - sqrt_discr
     lam = lam1 if abs(a22 - lam1) < abs(a22 - lam2) else lam2

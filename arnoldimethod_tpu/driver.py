@@ -682,14 +682,28 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
     V = ws.V
     is_real = not np.issubdtype(H.dtype, np.complexfloating)
     eps_work = float(jnp.finfo(ws.dtype).eps)
-    if extended:
+    # extended with FLOAT64 words: the dense restart layer itself runs in
+    # double-double (ops/dd.py object arrays through the same numpy
+    # kernels), so the criterion floor is the dd epsilon (~4.9e-32) and
+    # tolerances down to ~1e-28 certify — the reference's Double64
+    # workflow (readme.md:81-105).  With f32 words the combined hi+lo
+    # value fits f64 exactly, so the plain f64 dense layer suffices.
+    dd = extended and np.dtype(ws.dtype) == np.dtype("float64") and not np.issubdtype(H.dtype, np.complexfloating)
+    if dd:
+        from .ops.dd import DD_EPS, dd_collapse, dd_hi, dd_lo, dd_pack
+
+        eps_work = max(eps_work * eps_work, DD_EPS)
+        dense_tol = DD_EPS
+        use_native = False  # the C++ layer is f64-only
+    elif extended:
         # Double-word device arithmetic: the criterion floor drops to the
         # square of the single word's epsilon (ops/df_expansion.py) — but
         # never below the HOST dense layer's float64 epsilon, which the
-        # restart kernels inject into the relation (relevant when the
-        # word itself is float64: double-double device work cannot be
-        # certified past what the f64 dense phase delivers).
+        # restart kernels inject into the relation.
         eps_work = max(eps_work * eps_work, float(np.finfo(H.dtype).eps))
+        dense_tol = None
+    else:
+        dense_tol = None
 
     lams = np.zeros(m, dtype=complex)
     rs = np.zeros(m, dtype=float)
@@ -812,9 +826,12 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
                 )
 
             _run_sliced(_disp0, active0, lambda: np.asarray(Hdev[:1, :1]))
-            Hpull = np.asarray(Hdev, dtype=H.dtype) + np.asarray(
-                Hlo, dtype=H.dtype
-            )
+            if dd:
+                Hpull = dd_pack(np.asarray(Hdev), np.asarray(Hlo))
+            else:
+                Hpull = np.asarray(Hdev, dtype=H.dtype) + np.asarray(
+                    Hlo, dtype=H.dtype
+                )
         elif sc:
             def _disp0(a0, b0):
                 nonlocal V, Vim, Hdev, Hdev_i
@@ -835,6 +852,11 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
 
             _run_sliced(_disp0, active0, lambda: np.asarray(Hdev[:1, :1]))
             Hpull = np.asarray(Hdev, dtype=H.dtype)
+    if dd:
+        # The host Hessenberg becomes an object array of DD scalars for
+        # the whole restart loop: the dense kernels run unchanged on it
+        # (ws.H keeps the f64 hi words, synced on exit).
+        H = dd_pack(H)
     H[:, active0:m] = Hpull[:, active0:m]
     timings["device"] += _time.perf_counter() - t0
 
@@ -855,14 +877,25 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
             _native.copy_eigenvalues(lams, H[:m, :], 0, m)
             _native.copy_residuals(rs, H[:m, :], Q, H[m, m - 1], active, m)
         else:
-            local_schur(H[:m, :], active, m, Q)
-            copy_eigenvalues(lams, H[:m, :], 0, m)
-            _copy_residuals(rs, H, Q, H[m, m - 1], x, active, m)
-        _schur_coupling_floor(rs, H, Q, H[m, m - 1], active, m)
+            local_schur(H[:m, :], active, m, Q, tol=dense_tol)
+            copy_eigenvalues(lams, H[:m, :], 0, m, tol=dense_tol)
+            # Residual ESTIMATES evaluate in f64 even in dd mode: the
+            # tiny last-row couplings the dd Schur produced are exact
+            # f64 values (only their low words are dropped), so the
+            # estimate keeps ~1e-16 RELATIVE accuracy at any magnitude —
+            # all the locking decision needs.  The similarity
+            # TRANSFORMS above stay dd.
+            He = dd_collapse(H) if dd else H
+            Qe = dd_collapse(Q) if dd else Q
+            _copy_residuals(rs, He, Qe, He[m, m - 1], x, active, m)
+        if not use_native:
+            _schur_coupling_floor(rs, He, Qe, He[m, m - 1], active, m)
+        else:
+            _schur_coupling_floor(rs, H, Q, H[m, m - 1], active, m)
         ord_ = np.array(
             sorted(range(m), key=lambda i: (order_key(lams[i]), i))
         )
-        h_frob = np.linalg.norm(H)
+        h_frob = np.linalg.norm(dd_hi(H) if dd else H)
 
         def isconverged(idx):
             return rs[idx] <= max(eps_work * h_frob, tol * abs(lams[idx]))
@@ -939,7 +972,14 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
             # The first slice carries the truncation basis change; any
             # further slices are plain expansions of the remaining range.
             if extended:
-                Qh, Ql = split_f64(Qbig, ws.dtype)
+                if dd:
+                    # Qbig is a DD object array: feed its TRUE hi/lo
+                    # words to the df kernels (split_f64 of the rounded
+                    # value would zero the low word).
+                    Qh = jnp.asarray(dd_hi(Qbig))
+                    Ql = jnp.asarray(dd_lo(Qbig))
+                else:
+                    Qh, Ql = split_f64(Qbig, ws.dtype)
 
                 def _dispt(a0, b0):
                     nonlocal V, Vlo, Hdev, Hlo
@@ -953,9 +993,12 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
                         )
 
                 _run_sliced(_dispt, k, lambda: np.asarray(Hdev[:1, :1]))
-                Hpull = np.asarray(Hdev, dtype=H.dtype) + np.asarray(
-                    Hlo, dtype=H.dtype
-                )
+                if dd:
+                    Hpull = dd_pack(np.asarray(Hdev), np.asarray(Hlo))
+                else:
+                    Hpull = np.asarray(Hdev, dtype=H.dtype) + np.asarray(
+                        Hlo, dtype=H.dtype
+                    )
             elif sc:
                 Qr = jnp.asarray(np.ascontiguousarray(Qbig.real), ws.dtype)
                 Qi = jnp.asarray(np.ascontiguousarray(Qbig.imag), ws.dtype)
@@ -1002,9 +1045,9 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
         prods += m - k
         timings["device"] += _time.perf_counter() - t0
 
-        if _DEBUG and not sc:
-            # (split-complex: V alone is only the real word — the
-            # orthonormality check would be meaningless)
+        if _DEBUG and not sc and not dd:
+            # (split-complex: V alone is only the real word; dd: H is an
+            # object array the finiteness check cannot see through)
             _debug_checks(H, V, m, it)
 
         # Keep the workspace coherent after every restart so an exception
@@ -1032,7 +1075,14 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
     timings["dense"] += _time.perf_counter() - t0
     t0 = _time.perf_counter()
     if extended:
-        V, Vlo = df_apply_basis_change(V, Vlo, *split_f64(Qbig, ws.dtype))
+        if dd:
+            V, Vlo = df_apply_basis_change(
+                V, Vlo, jnp.asarray(dd_hi(Qbig)), jnp.asarray(dd_lo(Qbig))
+            )
+        else:
+            V, Vlo = df_apply_basis_change(
+                V, Vlo, *split_f64(Qbig, ws.dtype)
+            )
     elif sc:
         V, Vim = sc_apply_basis_change(
             V, Vim,
@@ -1051,7 +1101,7 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
         if use_native:
             _native.copy_eigenvalues(lams, H[:m, :], 0, nconverged)
         else:
-            copy_eigenvalues(lams, H[:m, :], 0, nconverged)
+            copy_eigenvalues(lams, H[:m, :], 0, nconverged, tol=dense_tol)
 
     ws.V = V
     # The low word makes the workspace a DOUBLE-WORD checkpoint after an
@@ -1065,8 +1115,23 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
 
     history = History(prods, nconverged, nconverged >= nev, nev, restarts=it,
                       purges=purge_events, timings=timings)
+    if dd:
+        # Keep the hi/lo words SEPARATE: with f64 words, hi + lo rounds
+        # lo away, so Q/R carry the hi word and the extra attributes
+        # Q_lo/R_lo carry the rest — together a ~1e-32-accurate pair
+        # (the Double64-class return; docs/precision.md).
+        ws.H[:] = dd_hi(H)  # resumable f64 state (hi words)
+        schur = PartialSchur(
+            np.asarray(V, np.float64)[:nconverged].T.copy(),
+            dd_hi(H[:nconverged, :nconverged]),
+            lams[:nconverged].copy(),
+        )
+        schur.Q_lo = np.asarray(Vlo, np.float64)[:nconverged].T.copy()
+        schur.R_lo = dd_lo(H[:nconverged, :nconverged])
+        return schur, history
     if extended:
-        # Return Q at full double-word accuracy: one host f64 combine.
+        # Return Q at full double-word accuracy: one host f64 combine
+        # (f32 words: the combined value is exact in f64).
         Vfull = np.asarray(V, np.float64) + np.asarray(Vlo, np.float64)
         schur = PartialSchur(
             Vfull[:nconverged].T.copy(),
