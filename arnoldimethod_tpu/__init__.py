@@ -24,6 +24,7 @@ from .transforms import (
     BInnerProductOperator,
     ChebyshevFilterOperator,
     estimate_interval,
+    CirculantShiftInvertOperator,
     GeneralizedShiftInvertOperator,
     power_bound,
     rayleigh_ritz,
@@ -72,6 +73,7 @@ __all__ = [
     "FunctionOperator",
     "ShiftInvertDenseOperator",
     "TridiagonalShiftInvertOperator",
+    "CirculantShiftInvertOperator",
     "GeneralizedShiftInvertOperator",
     "BInnerProductOperator",
     "ChebyshevFilterOperator",

@@ -236,11 +236,20 @@ class Stencil5Operator(LinearOperator):
     grid Laplacians / convection-diffusion (BASELINE.json configs 2-3).
     """
 
-    def __init__(self, coeffs, grid, dtype=jnp.float32, use_pallas=None):
+    def __init__(self, coeffs, grid, dtype=jnp.float32, use_pallas=None,
+                 boundary="dirichlet"):
         # coeffs: (center, west, east, north, south) scalars — real or
         # complex.  Complex coefficients make this a complex operator:
         # `dtype` becomes complex64/128, device work runs through the
         # fused split-complex matvec_sc (TPU has no complex dtypes).
+        # boundary: "dirichlet" (zero-padded halo) or "periodic" (the
+        # shifts wrap via jnp.roll — a 2-D circulant, hence a NORMAL
+        # operator even with nonsymmetric convection coefficients; its
+        # exact spectrum is the 2-D DFT symbol, the checkable
+        # nonsymmetric-at-scale model problem).
+        if boundary not in ("dirichlet", "periodic"):
+            raise ValueError("boundary must be 'dirichlet' or 'periodic'")
+        self.boundary = boundary
         cs = tuple(complex(c) for c in coeffs)
         self._complex_coeffs = any(c.imag != 0.0 for c in cs)
         self.coeffs = cs if self._complex_coeffs else tuple(
@@ -277,8 +286,30 @@ class Stencil5Operator(LinearOperator):
     def nnz(self):
         ny, nx = self.grid
         n = ny * nx
+        if self.boundary == "periodic":
+            return 5 * n
         # center everywhere; west/east miss one column; north/south one row.
         return n + 2 * ny * (nx - 1) + 2 * (ny - 1) * nx
+
+    def _shifted(self, g):
+        """The four neighbor reads (west, east, north, south) of grid g
+        under this operator's boundary condition.  west multiplies
+        x[i, j-1] etc.; Dirichlet reads a zero-padded halo, periodic
+        wraps via roll (XLA lowers both to fused slice/concat reads)."""
+        if self.boundary == "periodic":
+            return (
+                jnp.roll(g, 1, axis=1),
+                jnp.roll(g, -1, axis=1),
+                jnp.roll(g, 1, axis=0),
+                jnp.roll(g, -1, axis=0),
+            )
+        gp = jnp.pad(g, ((1, 1), (1, 1)))
+        return (
+            gp[1:-1, :-2],
+            gp[1:-1, 2:],
+            gp[:-2, 1:-1],
+            gp[2:, 1:-1],
+        )
 
     def matvec_sc(self, xr, xi):
         """Split-complex stencil application (yr, yi) = A @ (xr + i*xi)
@@ -288,14 +319,8 @@ class Stencil5Operator(LinearOperator):
         coefficients (the imaginary terms fold to zero constants)."""
         ny, nx = self.grid
         gr, gi = xr.reshape(ny, nx), xi.reshape(ny, nx)
-        gpr = jnp.pad(gr, ((1, 1), (1, 1)))
-        gpi = jnp.pad(gi, ((1, 1), (1, 1)))
-        views = (
-            (gr, gi),
-            (gpr[1:-1, :-2], gpi[1:-1, :-2]),
-            (gpr[1:-1, 2:], gpi[1:-1, 2:]),
-            (gpr[:-2, 1:-1], gpi[:-2, 1:-1]),
-            (gpr[2:, 1:-1], gpi[2:, 1:-1]),
+        views = ((gr, gi),) + tuple(
+            zip(self._shifted(gr), self._shifted(gi))
         )
         yr = yi = 0.0
         for c, (tr, ti) in zip(self.coeffs, views):
@@ -314,6 +339,8 @@ class Stencil5Operator(LinearOperator):
             )
             return yr + 1j * yi
         use_pallas = self.use_pallas
+        if self.boundary != "dirichlet":
+            use_pallas = False  # the Pallas kernels assume zero halos
         if use_pallas is None:
             # Auto: the sliding-window Pallas kernel on a single TPU chip
             # (every x row fetched from HBM once, measured 1.36x the XLA
@@ -351,17 +378,11 @@ class Stencil5Operator(LinearOperator):
 
         c, w, e, no, so = self.coeffs
         g = x.reshape(ny, nx)
-        # One zero-padded halo + five shifted reads in a single fused
-        # elementwise expression (XLA fuses this into one pass over the
-        # grid; scatter-style .at[].add updates would not fuse).
-        gp = jnp.pad(g, ((1, 1), (1, 1)))
-        y = (
-            c * g
-            + w * gp[1:-1, :-2]
-            + e * gp[1:-1, 2:]
-            + no * gp[:-2, 1:-1]
-            + so * gp[2:, 1:-1]
-        )
+        # One halo (zero-padded or wrapped) + five shifted reads in a
+        # single fused elementwise expression (XLA fuses this into one
+        # pass over the grid; scatter-style .at[].add would not fuse).
+        vw, ve, vn, vs = self._shifted(g)
+        y = c * g + w * vw + e * ve + no * vn + so * vs
         return y.reshape(ny * nx)
 
     def matvec_df(self, xh, xl):
@@ -375,24 +396,20 @@ class Stencil5Operator(LinearOperator):
         c, w, e, no, so = self.coeffs
         gh = xh.reshape(ny, nx)
         gl = xl.reshape(ny, nx)
-        gph = jnp.pad(gh, ((1, 1), (1, 1)))
-        gpl = jnp.pad(gl, ((1, 1), (1, 1)))
         coef = jnp.asarray
         yh, yl = df32.df_scale(gh, gl, coef(c, dtype=gh.dtype))
-        for cf, sl2 in (
-            (w, (slice(1, -1), slice(None, -2))),
-            (e, (slice(1, -1), slice(2, None))),
-            (no, (slice(None, -2), slice(1, -1))),
-            (so, (slice(2, None), slice(1, -1))),
+        for cf, sh, sl in zip(
+            (w, e, no, so), self._shifted(gh), self._shifted(gl)
         ):
-            th, tl = df32.df_scale(
-                gph[sl2], gpl[sl2], coef(cf, dtype=gh.dtype)
-            )
+            th, tl = df32.df_scale(sh, sl, coef(cf, dtype=gh.dtype))
             yh, yl = df32.df_add(yh, yl, th, tl)
         return yh.reshape(ny * nx), yl.reshape(ny * nx)
 
     def tree_flatten(self):
-        return (), (self.coeffs, self.grid, self.dtype, self.use_pallas)
+        return (), (
+            self.coeffs, self.grid, self.dtype, self.use_pallas,
+            self.boundary,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):

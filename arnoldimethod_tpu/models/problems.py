@@ -17,7 +17,7 @@ import numpy as np
 
 from .operators import DiaOperator, EllOperator, Stencil5Operator
 
-__all__ = ["laplacian_1d", "tridiagonal", "laplacian_2d", "convection_diffusion_2d"]
+__all__ = ["laplacian_1d", "tridiagonal", "laplacian_2d", "convection_diffusion_2d", "convection_diffusion_periodic_2d"]
 
 
 def _dia(offset_values, n, dtype):
@@ -99,3 +99,33 @@ def convection_diffusion_2d(nx, ny=None, peclet=10.0, dtype=np.float64, fmt="dia
     h = 1.0 / (nx + 1)
     beta = peclet * h / 2.0
     return _grid_2d(nx, ny, 4.0, -1.0 - beta, -1.0 + beta, -1.0, -1.0, dtype, fmt)
+
+
+def convection_diffusion_periodic_2d(nx, ny=None, cx=0.15, cy=0.08,
+                                     scale=1.0, dtype=np.float32):
+    """Periodic (torus) convection-diffusion: the 2-D circulant stencil
+
+        scale * [ 4, -1-cx, -1+cx, -1-cy, -1+cy ]  (c, w, e, n, s)
+
+    — genuinely NONSYMMETRIC (central-difference convection in both
+    directions) yet NORMAL (a 2-D circulant), so its eigenproblem is
+    well-conditioned at any n, unlike the Dirichlet operator whose
+    departure from normality grows like ((1+beta)/(beta-1))^(nx/2) for
+    beta > 1 and makes the true spectrum unreachable by ANY
+    backward-stable method at large nx (docs/precision.md).  The exact
+    spectrum is the DFT symbol
+
+        lam(j, k) = scale * [ (2 - 2 cos th_j) + (2 - 2 cos ph_k)
+                              + 2 i (cx sin th_j + cy sin ph_k) ]
+
+    with th_j = 2 pi j / nx, ph_k = 2 pi k / ny: complex conjugate
+    pairs (j <-> nx - j), real parts in [0, 8 scale] — the checkable
+    nonsymmetric model problem at the 1M-row scale (bench `conv1m`,
+    docs/transforms.md 'nonsymmetric filtering')."""
+    if ny is None:
+        ny = nx
+    c = [4.0, -1.0 - cx, -1.0 + cx, -1.0 - cy, -1.0 + cy]
+    return Stencil5Operator(
+        tuple(scale * v for v in c), (ny, nx), dtype=dtype,
+        boundary="periodic",
+    )

@@ -238,6 +238,113 @@ class ChebyshevFilterOperator(LinearOperator):
         return obj
 
 
+@register_pytree_node_class
+class CirculantShiftInvertOperator(LinearOperator):
+    """x -> (A - sigma I)^{-1} x for a PERIODIC constant-coefficient
+    stencil (a 2-D circulant), solved exactly by FFT diagonalization:
+    ifft2( fft2(x) / (symbol - sigma) ).
+
+    This is the TPU-native structured shift-invert: the reference's
+    recipe for clustered/interior spectra is shift-invert through a
+    sparse LU (docs/src/index.md:234-303); on TPU the structured solvers
+    take that role — tridiagonal associative scans
+    (TridiagonalShiftInvertOperator) for banded matrices, FFT for
+    circulants.  Each application is two n log n FFT passes, pure
+    on-chip work.  The inverse symbol is precomputed on host in complex128
+    and stored as REAL (re, im) device words: TPU complex64 COMPUTATION
+    is fine inside a program — only complex host<->device transfers are
+    unimplemented (docs/precision.md) — so the complex intermediates are
+    formed and consumed entirely in-graph.
+
+    Eigenvalues transform as theta = 1/(lambda - sigma): target
+    which='LM' and map back with `eigenvalues_back`.  Nonsymmetric
+    stencils (convection) give complex conjugate theta pairs — the
+    2x2-block real Schur path — with cluster gaps magnified by
+    1/|lambda - sigma|^2, which is what makes the quadratically
+    clustered :LM edge of a 1M-row operator convergable at all
+    (docs/transforms.md 'nonsymmetric spectra')."""
+
+    def __init__(self, inv_re, inv_im, grid, sigma, dtype):
+        self.inv_re = inv_re
+        self.inv_im = inv_im
+        self.grid = tuple(grid)
+        self.sigma = float(sigma)
+        n = self.grid[0] * self.grid[1]
+        self.shape = (n, n)
+        self.dtype = jnp.dtype(dtype)
+
+    @classmethod
+    def build(cls, op, sigma):
+        """From a periodic Stencil5Operator and a real shift (sigma must
+        not equal any eigenvalue; any sigma outside the spectrum's real
+        span is safe for nonzero convection)."""
+        from .models.operators import Stencil5Operator
+
+        if not (
+            isinstance(op, Stencil5Operator) and op.boundary == "periodic"
+        ):
+            raise ValueError(
+                "CirculantShiftInvertOperator needs a periodic "
+                "Stencil5Operator"
+            )
+        import numpy as np
+
+        ny, nx = op.grid
+        c, w, e, no, so = [complex(v) for v in op.coeffs]
+        th = 2.0 * np.pi * np.arange(nx) / nx
+        ph = 2.0 * np.pi * np.arange(ny) / ny
+        sym = (
+            c
+            + w * np.exp(-1j * th)[None, :]
+            + e * np.exp(1j * th)[None, :]
+            + no * np.exp(-1j * ph)[:, None]
+            + so * np.exp(1j * ph)[:, None]
+        )
+        inv = 1.0 / (sym - sigma)
+        word = (
+            jnp.float32
+            if jnp.dtype(op.dtype) in (jnp.dtype("float32"),
+                                       jnp.dtype("complex64"))
+            else jnp.float64
+        )
+        return cls(
+            jnp.asarray(inv.real, word), jnp.asarray(inv.imag, word),
+            op.grid, sigma, word,
+        )
+
+    def matvec(self, x):
+        ny, nx = self.grid
+        g = x.reshape(ny, nx)
+        X = jnp.fft.fft2(g)
+        Y = X * (self.inv_re + 1j * self.inv_im)
+        return jnp.real(jnp.fft.ifft2(Y)).astype(self.dtype).reshape(
+            ny * nx
+        )
+
+    def matvec_cost_hint(self):
+        n = self.shape[0]
+        # two complex FFT passes + elementwise: ~20 n-sized HBM passes.
+        return 20.0 * n * jnp.dtype(self.dtype).itemsize / 8.0e11
+
+    def eigenvalues_back(self, thetas):
+        """theta = 1/(lambda - sigma)  =>  lambda = sigma + 1/theta."""
+        return self.sigma + 1.0 / thetas
+
+    def tree_flatten(self):
+        return (self.inv_re, self.inv_im), (
+            self.grid, self.sigma, self.dtype,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.inv_re, obj.inv_im = children
+        obj.grid, obj.sigma, obj.dtype = aux
+        n = obj.grid[0] * obj.grid[1]
+        obj.shape = (n, n)
+        return obj
+
+
 def power_bound(A, iters=20, seed=0, safety=1.05):
     """Upper bound on the spectral radius by `iters` power iterations with
     a safety factor — the `b` endpoint for ChebyshevFilterOperator."""
@@ -258,16 +365,30 @@ def power_bound(A, iters=20, seed=0, safety=1.05):
 
 
 def estimate_interval(A, nev, maxdim=None, safety=3.0, seed=0, b_iters=30,
-                      refine=2, refine_degree=100):
+                      refine=2, refine_degree=100, which="SR"):
     """Damping interval for ChebyshevFilterOperator computed from solver
     outputs only — no knowledge of the spectrum required.  Returns a
-    namedtuple (a, b, lo):
+    namedtuple (a, b, lo) where **(a, b) is the interval to DAMP and
+    `lo` is the scale point at the wanted edge** — pass them straight to
+    `ChebyshevFilterOperator(op, iv.a, iv.b, deg, scale_point=iv.lo)`.
+
+    which="SR" (default — the smallest-eigenvalue recipe):
 
       b:  upper bound on the spectral radius via `power_bound`;
-      lo: estimate of the spectrum's lower edge — pass it as the filter's
-          `scale_point` so high degrees cannot overflow;
+      lo: estimate of the spectrum's lower edge (the wanted edge /
+          scale point, so high degrees cannot overflow);
       a:  the lower damping edge, placed `safety` x the estimated width
           of the wanted band above `lo`.
+
+    which="LM" (largest-REAL-part/magnitude end — the mirrored recipe,
+    for nonsymmetric spectra in a thin ellipse around the real axis,
+    e.g. the periodic convection-diffusion circulant): the damped
+    interval is [lo_edge, a_cut] where lo_edge UNDERestimates the
+    spectrum's lower edge (via a power bound on b·I − A) and a_cut sits
+    `safety` band-widths below the top; the returned `lo` is the upper
+    bound b (the wanted-edge scale point).  The thin-ellipse condition
+    — max |Im lambda| must stay below sqrt(band_width * interval_length)
+    — is the user's responsibility (docs/transforms.md).
 
     The first (lo, a) guess comes from one coarse m-step Arnoldi pass
     (m ~ 2*nev + 10): for symmetric A the Ritz values interlace the
@@ -316,6 +437,14 @@ def estimate_interval(A, nev, maxdim=None, safety=3.0, seed=0, b_iters=30,
     del V, H  # at nev=100 scale the coarse basis is ~8.6 GB — free it now
     _, _, w0 = _schur_of_hessenberg(Hs)
     ritz = np.sort(w0.real)
+
+    if which == "LM":
+        return _estimate_interval_lm(
+            op, nev, ritz, b, safety, seed, b_iters, refine, refine_degree,
+            key, Interval, m,
+        )
+    if which != "SR":
+        raise ValueError("which must be 'SR' or 'LM'")
     lo, theta = ritz[0], ritz[min(nev, m) - 1]
 
     def edge(lo, theta):
@@ -352,6 +481,107 @@ def estimate_interval(A, nev, maxdim=None, safety=3.0, seed=0, b_iters=30,
         a = edge(lo, theta)
         X = Q
     return Interval(float(a), float(b), float(lo))
+
+
+def _estimate_interval_lm(op, nev, ritz, b, safety, seed, b_iters, refine,
+                          refine_degree, key, Interval, m):
+    """The mirrored (largest-end) interval recipe: damp [lo_edge, a_cut],
+    scale at the upper bound b.  See estimate_interval(which="LM")."""
+    import numpy as np
+
+    from .models.operators import FunctionOperator
+    from .ops.expansion import orthonormalize_rows
+
+    n = op.shape[0]
+    # Lower spectrum edge, UNDERestimated: power_bound on b*I - A gives
+    # (with its safety factor) an overshoot of max|b - lambda|
+    # >= b - min Re lambda, so lo_edge sits at or below the true edge —
+    # eigenvalues below the damped interval would be amplified, so the
+    # estimate must err outward.
+    sop = FunctionOperator(
+        lambda x: b * x - op.matvec(x), n, op.dtype
+    )
+    lo_edge = b - power_bound(sop, iters=b_iters, seed=seed + 1)
+
+    # f32 Arnoldi Ritz values can overshoot the true top by ~1e-3, and
+    # even the power bound's 5% safety margin is fatal as a scale point
+    # (|T| at the wanted edge underflows by e^{-O(deg*sqrt(overshoot))}),
+    # so the bootstrap hi is clamped to the UN-inflated power estimate
+    # b/1.05 ~ rho(A) — a slight UNDERestimate of the top, which only
+    # costs a benign e^{+small} at the true edge — and each refinement
+    # REPLACES hi with the projected Rayleigh estimate (which cannot
+    # overshoot: Ritz values of a normal operator stay in the hull).
+    hi, theta = min(ritz[-1], b / 1.05), ritz[-min(nev, m)]
+
+    def edge(hi, theta):
+        a = hi - safety * (hi - theta)
+        if not a > lo_edge:  # degenerate flat estimate: damp the lower half
+            a = hi - 0.5 * (hi - lo_edge)
+        # keep a nonempty wanted zone strictly below the scale point
+        return min(a, b - 0.02 * (b - lo_edge))
+
+    a_cut = edge(hi, theta)
+    k = min(nev + 5, n)
+    X = jax.random.normal(
+        jax.random.fold_in(key, 1), (k, n), dtype=op.dtype
+    )
+    filt = jax.jit(lambda fop, X: lax.map(fop.matvec, X))
+    degrees = (
+        [int(refine_degree)] * refine
+        if np.isscalar(refine_degree)
+        else [int(d) for d in refine_degree]
+    )
+    for r, deg_r in enumerate(degrees):
+        # scale_point = hi, the WANTED-edge estimate (mirror of the SR
+        # recipe's `lo`): normalizing at the inflated power bound b
+        # instead puts the wanted eigenvalues e^{-O(deg*sqrt(overshoot))}
+        # below 1 — a measured f32 underflow to exactly zero at deg=400.
+        fop = ChebyshevFilterOperator(op, lo_edge, a_cut, deg_r,
+                                      scale_point=hi)
+        Q = orthonormalize_rows(filt(fop, X), jax.random.fold_in(key, 2 + r))
+        w, _, _ = rayleigh_ritz(op, Q, rows_layout=True,
+                                return_vectors=False,
+                                compute_residuals=False)
+        wre = np.sort(np.asarray(w).real)
+        hi, theta = min(wre[-1], b), wre[-min(nev, k)]
+        # Monotone cut: the amplified zone's mode count grows ~linearly
+        # with (hi - a_cut) for spectra clustering quadratically at the
+        # edge, so once it exceeds the k-wide probe block, low Ritz
+        # values leak into theta and an un-guarded cut collapses toward
+        # the midpoint fallback (measured on the periodic
+        # convection-diffusion circulant).  A previous round's cut was
+        # already feasible — never move below it.
+        a_cut = max(edge(hi, theta), a_cut)
+        X = Q
+
+    # Polish the top edge.  The scale point's error is the whole game:
+    # hi BELOW the true top inflates the filtered ||H||_F by
+    # e^{rho(err)*deg} and the criterion's eps floor then accepts
+    # unconverged pairs; hi too far ABOVE underflows the wanted band.
+    # Tolerated error ~ (2.5/deg)^2 * L, i.e. ~1e-6 relative at
+    # deg=1000 — far beyond the probe block's Ritz accuracy.  Filtered
+    # power iteration delivers it: the filter's own top-dominance makes
+    # 3 moderate-degree applications converge the top mode to ~f32 eps,
+    # and the Rayleigh quotient plus its residual bound give an edge
+    # estimate with a certified overshoot margin (normal operators:
+    # |lam_max - mu| <= ||Av - mu v||).
+    # ~3200 total filter degrees: the within-zone dominance rate is only
+    # ~e^{-0.02/deg-unit} for quadratically-clustered edges, so a few
+    # hundred degrees leave the polish vector a cluster mixture whose
+    # residual (and hence the margin) is the cluster spread, not the
+    # top-mode error (measured: r ~ 1e-2 at 300 degrees, ~1e-6 at 3200).
+    v = X[0]
+    for t in range(8):
+        fpol = ChebyshevFilterOperator(op, lo_edge, a_cut, 400,
+                                       scale_point=hi)
+        v = fpol.matvec(v)
+        v = v / jnp.linalg.norm(v)
+    Av = op.matvec(v)
+    mu = float(jnp.vdot(v, Av).real)
+    r = float(jnp.linalg.norm(Av - mu * v))
+    hi = mu + r + 4.0 * abs(mu) * float(jnp.finfo(op.dtype).eps)
+    a_cut = max(edge(hi, theta), a_cut)
+    return Interval(float(lo_edge), float(a_cut), float(hi))
 
 
 def _schur_of_hessenberg(Hs):

@@ -921,6 +921,106 @@ def conv_diffusion():
     }
 
 
+def conv_1m_nonsym():
+    """Nonsymmetric at config-2 SCALE (VERDICT r4 next #3): the periodic
+    convection-diffusion circulant at n = 1,048,576 — genuinely
+    nonsymmetric (central-difference convection, complex conjugate
+    pairs) yet NORMAL, so its eigenproblem is well-conditioned at scale,
+    unlike the Dirichlet operator whose departure from normality grows
+    like 3^(nx/2) at beta=2 and puts the true spectrum beyond ANY
+    backward-stable method for nx >= ~512 (docs/precision.md; measured:
+    1500 extended restarts lock nothing at nx=512).
+
+    Recipe (docs/transforms.md 'nonsymmetric spectra'): the :LM edge
+    clusters quadratically, so interval filters cannot separate it once
+    convection tilts the spectrum (thin-ellipse violation) — the
+    TPU-native answer is the FFT circulant shift-invert
+    (CirculantShiftInvertOperator): sigma is walked to the top edge by
+    staged inverse power iterations, then Krylov-Schur on
+    (A - sigma I)^{-1} converges the cluster with gaps magnified by
+    1/|lambda - sigma|^2.  Answers check against the exact DFT symbol."""
+    jax = _jax()
+    import numpy as np
+    import jax.numpy as jnp
+
+    from arnoldimethod_tpu import (
+        CirculantShiftInvertOperator,
+        partial_schur,
+        power_bound,
+        rayleigh_ritz,
+    )
+    from arnoldimethod_tpu.models import convection_diffusion_periodic_2d
+
+    N, s, cx, cy = 1024, 0.13, 0.15, 0.08
+    op = convection_diffusion_periodic_2d(N, cx=cx, cy=cy, scale=s)
+    t0 = time.perf_counter()
+    sigma = float(power_bound(op))
+    key = jax.random.PRNGKey(0)
+    v = jax.random.normal(key, (N * N,), jnp.float32)
+
+    @jax.jit
+    def si_power(si, v, steps):
+        def body(i, v):
+            w = si.matvec(v)
+            return w / jnp.linalg.norm(w)
+
+        return jax.lax.fori_loop(0, steps, body, v)
+
+    for _stage in range(4):
+        si = CirculantShiftInvertOperator.build(op, sigma)
+        v = si_power(si, v, 30)
+        Av = op.matvec(v)
+        lam_hat = float(jnp.vdot(v, Av))
+        r = float(jnp.linalg.norm(Av - lam_hat * v))
+        sigma = lam_hat + max(4 * r, 0.05 * (sigma - lam_hat), 1e-7)
+    t_sigma = time.perf_counter() - t0
+
+    si = CirculantShiftInvertOperator.build(op, sigma)
+    kw = dict(nev=12, which="LM", tol=1e-7, mindim=18, maxdim=36,
+              method="host", restarts=300)
+    t0 = time.perf_counter()
+    decomp, history = partial_schur(si, **kw)
+    t_solve = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    w, _, res = rayleigh_ritz(op, decomp.Q)
+    t_rr = time.perf_counter() - t0
+
+    warms = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        decomp2, history2 = partial_schur(si, **kw)
+        np.asarray(decomp2.Q[:, :1])
+        warms.append(time.perf_counter() - t0)
+    warm, warm_med = _min_med(warms)
+
+    th = 2 * np.pi * np.arange(N) / N
+    sym = s * (
+        (2 - 2 * np.cos(th))[:, None]
+        + (2 - 2 * np.cos(th))[None, :]
+        + 2j * (cx * np.sin(th)[:, None] + cy * np.sin(th)[None, :])
+    )
+    se = sym.ravel()
+    w = np.asarray(w)
+    acc = float(max(min(abs(l - t) for t in se) for l in w))
+    top8 = se[np.argsort(-np.abs(se))][:8]
+    cov = float(max(min(abs(t - l) for l in w) for t in top8))
+    return {
+        "conv1m_n": N * N,
+        "conv1m_wall_s": round(t_sigma + t_solve + t_rr, 2),
+        "conv1m_sigma_s": round(t_sigma, 2),
+        "conv1m_solve_s": round(t_solve, 2),
+        "conv1m_wall_warm_s": warm,
+        "conv1m_wall_warm_med_s": warm_med,
+        "conv1m_matvecs": history.mvproducts,
+        "conv1m_restarts": history.restarts,
+        "conv1m_converged": bool(history.converged),
+        "conv1m_max_resid": float(f"{np.max(res):.3e}"),
+        "conv1m_eig_acc": float(f"{acc:.3e}"),
+        "conv1m_top8_coverage": float(f"{cov:.3e}"),
+        "conv1m_complex_pairs": int(np.sum(w.imag > 1e-9)),
+    }
+
+
 def shift_invert():
     """Config 4 (BASELINE.json) / reference bench/partial_schur.jl:37-52:
     n=6000 tridiagonal (-1, 2, -1.001), shift-invert at sigma=0, nev=10,
@@ -1176,6 +1276,7 @@ PHASES = {
     "e2e1mdev": e2e_1m_device,
     "e2e1mcheb": e2e_1m_cheb,
     "conv": conv_diffusion,
+    "conv1m": conv_1m_nonsym,
     "shiftinv": shift_invert,
     "kernels": kernels,
     "spmvcsr": spmv_csr,
@@ -1195,6 +1296,7 @@ PHASE_ORDER = [
     "complexsc",
     "complexscsparse",
     "conv",
+    "conv1m",
     "e2e65k",
     "e2e10m",
     "e2e16m",

@@ -253,3 +253,135 @@ def test_rayleigh_ritz_chunked_options():
     assert np.allclose(w0, w1, atol=1e-5) and np.allclose(w0, w2, atol=1e-5)
     assert np.allclose(r0, r1, atol=1e-4) and np.allclose(r0, r2, atol=1e-4)
     assert np.allclose(np.abs(np.asarray(X1).T), np.abs(np.asarray(X0)), atol=1e-4)
+
+
+# --- Periodic stencils, the FFT circulant shift-invert, and the LM
+# --- interval recipe (round 5: the nonsymmetric-at-scale story). ------
+
+
+def _periodic_symbol(N, s, cx, cy):
+    th = 2 * np.pi * np.arange(N) / N
+    return s * (
+        (2 - 2 * np.cos(th))[:, None]
+        + (2 - 2 * np.cos(th))[None, :]
+        + 2j * (cx * np.sin(th)[:, None] + cy * np.sin(th)[None, :])
+    )
+
+
+def test_periodic_stencil_matvec_matches_symbol_spectrum():
+    """The periodic Stencil5Operator is the 2-D circulant whose spectrum
+    is the DFT symbol, and it is NORMAL despite nonsymmetric convection."""
+    from arnoldimethod_tpu.models import convection_diffusion_periodic_2d
+
+    N, s, cx, cy = 8, 0.13, 0.15, 0.08
+    op = convection_diffusion_periodic_2d(N, cx=cx, cy=cy, scale=s)
+    n = N * N
+    A = np.zeros((n, n))
+    for i in range(n):
+        e = np.zeros(n, np.float32)
+        e[i] = 1
+        A[:, i] = np.asarray(op.matvec(jnp.asarray(e)), np.float64)
+    assert np.linalg.norm(A @ A.T - A.T @ A) < 1e-10  # normal
+    lam = np.linalg.eigvals(A)
+    se = _periodic_symbol(N, s, cx, cy).ravel()
+    d = max(min(abs(l - t) for t in se) for l in lam)
+    assert d < 1e-6
+
+
+def test_circulant_shift_invert_matvec_oracle():
+    from arnoldimethod_tpu import CirculantShiftInvertOperator
+    from arnoldimethod_tpu.models import convection_diffusion_periodic_2d
+
+    N, s, cx, cy, sigma = 8, 0.13, 0.15, 0.08, 1.3
+    op = convection_diffusion_periodic_2d(N, cx=cx, cy=cy, scale=s)
+    n = N * N
+    A = np.zeros((n, n))
+    for i in range(n):
+        e = np.zeros(n, np.float32)
+        e[i] = 1
+        A[:, i] = np.asarray(op.matvec(jnp.asarray(e)), np.float64)
+    si = CirculantShiftInvertOperator.build(op, sigma)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(si.matvec(jnp.asarray(x)), np.float64)
+    y_ref = np.linalg.solve(A - sigma * np.eye(n), x)
+    assert np.max(np.abs(y - y_ref)) < 1e-5
+    # rejects non-periodic operators
+    from arnoldimethod_tpu.models.operators import Stencil5Operator
+
+    with pytest.raises(ValueError, match="periodic"):
+        CirculantShiftInvertOperator.build(
+            Stencil5Operator((4, -1, -1, -1, -1), (4, 4)), 1.0
+        )
+
+
+def test_circulant_shift_invert_lm_solve():
+    """The nonsymmetric-at-scale recipe at test size: periodic
+    convection-diffusion, FFT shift-invert near the top, :LM — converges
+    the quadratically clustered edge with conjugate pairs, checked
+    against the exact DFT symbol."""
+    from arnoldimethod_tpu import (
+        CirculantShiftInvertOperator,
+        partial_schur,
+        rayleigh_ritz,
+    )
+    from arnoldimethod_tpu.models import convection_diffusion_periodic_2d
+
+    N, s, cx, cy = 32, 0.13, 0.15, 0.08
+    op = convection_diffusion_periodic_2d(N, cx=cx, cy=cy, scale=s)
+    se = _periodic_symbol(N, s, cx, cy).ravel()
+    sigma = float(np.max(se.real)) * 1.0005
+    si = CirculantShiftInvertOperator.build(op, sigma)
+    d, h = partial_schur(si, nev=10, which="LM", tol=1e-8, mindim=15,
+                         maxdim=30, method="host")
+    assert h.converged
+    w, X, res = rayleigh_ritz(op, d.Q)
+    w = np.asarray(w)
+    assert np.max(res) < 1e-5
+    # every Ritz value is a true eigenvalue...
+    assert max(min(abs(l - t) for t in se) for l in w) < 1e-5
+    # ...the exact top-6 are all captured...
+    top6 = se[np.argsort(-np.abs(se))][:6]
+    assert max(min(abs(t - l) for l in w) for t in top6) < 1e-5
+    # ...and genuine conjugate pairs are present.
+    assert int(np.sum(np.abs(w.imag) > 1e-7)) >= 4
+    # eigenvalues_back maps the transformed values consistently.
+    lam_back = si.eigenvalues_back(np.asarray(d.eigenvalues))
+    assert max(min(abs(l - t) for t in se) for l in lam_back) < 1e-4
+
+
+def test_estimate_interval_lm_symmetric():
+    """which='LM' interval recipe on the (symmetric) periodic Laplacian:
+    the damped interval must cover the lower spectrum and the scale
+    point must sit at the top edge (within power/Ritz accuracy)."""
+    from arnoldimethod_tpu import (
+        ChebyshevFilterOperator,
+        estimate_interval,
+        partial_schur,
+        rayleigh_ritz,
+    )
+    from arnoldimethod_tpu.models import convection_diffusion_periodic_2d
+
+    N, s = 64, 0.13
+    op = convection_diffusion_periodic_2d(N, cx=0.0, cy=0.0, scale=s)
+    iv = estimate_interval(op, nev=8, which="LM", refine=3,
+                           refine_degree=(100, 200, 300))
+    top = 8 * s
+    assert iv.a < 0.01  # lower edge at/below the true bottom (0)
+    assert iv.a < iv.b < iv.lo
+    assert abs(iv.lo - top) < 0.02 * top  # scale point at the top edge
+    # The filtered solve localizes the top band: ~1e-3 eigenvalue
+    # accuracy and ~1e-2 residuals — the filter route is the cheap
+    # LOCALIZER (it feeds interval/edge estimates); full f32-floor
+    # accuracy at the clustered :LM edge is the shift-invert route's
+    # job (test_circulant_shift_invert_lm_solve reaches ~1e-5 on the
+    # same spectrum class).
+    fop = ChebyshevFilterOperator(op, iv.a, iv.b, 150, scale_point=iv.lo)
+    d, h = partial_schur(fop, nev=12, which="LM", tol=1e-7, mindim=18,
+                         maxdim=36, method="host")
+    w, _, res = rayleigh_ritz(op, d.Q)
+    se = _periodic_symbol(N, s, 0.0, 0.0).ravel().real
+    top6 = np.sort(se)[-6:]
+    cov = max(min(abs(t - l) for l in np.asarray(w).real) for t in top6)
+    assert cov < 2e-3  # f32 filtered-path eigenvalue accuracy
+    assert float(np.max(res)) < 2e-2
