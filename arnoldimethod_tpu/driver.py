@@ -252,6 +252,32 @@ def _schur_coupling_floor(rs, H, Q, h_last, lo, hi):
     return rs
 
 
+def _pick_method(platform, is_real, maxdim, n):
+    """method=None auto-select: the measured host/device crossover.
+
+    Measured surface (benchmarks/crossover_sweep.py, published in
+    docs/profile_1m.md): the fused device path saves ~2 host round trips
+    per restart (~50-130 ms on a remote-attached chip) but pays the
+    on-device masked dense kernels, whose cost grows ~m^2 per restart
+    AND with n through the extra full-basis passes the fused restart
+    makes.  The fixed-restart sweep over (n, maxdim) x method: device
+    wins 2-3x at maxdim <= 40 for n <= 65k and at maxdim = 20 for
+    n = 1M; host wins at maxdim >= 60 for n = 1M in every campaign; the
+    1M/maxdim=40 cell flips with the tunnel's latency mode (1.19x vs
+    0.74x), so the boundary conservatively picks host there.
+    """
+    small_n = n <= (1 << 18)
+    return (
+        "device"
+        if (
+            platform == "tpu"
+            and is_real
+            and (maxdim <= 60 if small_n else maxdim <= 32)
+        )
+        else "host"
+    )
+
+
 def partial_schur(
     A,
     *,
@@ -587,17 +613,7 @@ def partial_schur(
             if sharding is not None
             else jax.local_devices()[0].platform
         )
-        # Measured crossover (docs/profile_1m.md): the fused device path
-        # saves ~2 host round trips per restart (~50 ms on a
-        # remote-attached chip) but pays the on-device masked dense
-        # kernels, whose cost grows ~m^2 per restart.  At maxdim=40 the
-        # device path wins (e2e65k: 1.24x), at maxdim=80 it loses ~2x
-        # (e2e1m vs e2e1mdev) — pick host beyond the midpoint.
-        method = (
-            "device"
-            if (platform == "tpu" and is_real and maxdim <= 60)
-            else "host"
-        )
+        method = _pick_method(platform, is_real, maxdim, op.shape[0])
     if method not in ("host", "device"):
         raise ValueError(f"method must be 'host' or 'device', got {method!r}")
     if method == "device":

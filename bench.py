@@ -595,8 +595,8 @@ def e2e_1m_device():
     crashed the TPU worker in round 3.  fused.py now dispatches the
     restart loop in bounded-duration chunks (~40 s each).  The device
     path is FORCED here (method="device") to pin the crash regression;
-    the auto-select would pick "host" at maxdim=80 (measured crossover
-    is maxdim <= 60, docs/profile_1m.md)."""
+    the auto-select would pick "host" at n=1M/maxdim=80 (measured
+    crossover surface: docs/profile_1m.md)."""
     _jax()
     import numpy as np
 

@@ -93,3 +93,25 @@ def test_64bit_dtypes_rejected_on_tpu(monkeypatch):
         partial_schur(A.astype(np.complex128), nev=2)
     with pytest.raises(NotImplementedError, match="complex"):
         partial_schur(A.astype(np.complex64), nev=2)
+
+
+def test_pick_method_crossover_boundary():
+    """method=None auto-select encodes the measured crossover surface
+    (benchmarks/crossover_sweep.py, docs/profile_1m.md): device where it
+    wins 2-3x, host where the on-device dense kernels lose, host for the
+    tunnel-ambiguous 1M/maxdim=40 cell, and always host off-TPU or for
+    complex dtypes."""
+    from arnoldimethod_tpu.driver import _pick_method
+
+    # n <= 2^18: device through maxdim=60.
+    assert _pick_method("tpu", True, 20, 65536) == "device"
+    assert _pick_method("tpu", True, 60, 65536) == "device"
+    assert _pick_method("tpu", True, 80, 65536) == "host"
+    # n > 2^18: device only for small subspaces.
+    assert _pick_method("tpu", True, 20, 1 << 20) == "device"
+    assert _pick_method("tpu", True, 32, 1 << 20) == "device"
+    assert _pick_method("tpu", True, 40, 1 << 20) == "host"
+    assert _pick_method("tpu", True, 80, 1 << 20) == "host"
+    # Non-TPU platforms and complex dtypes always go host.
+    assert _pick_method("cpu", True, 20, 65536) == "host"
+    assert _pick_method("tpu", False, 20, 65536) == "host"
