@@ -42,9 +42,12 @@ import time
 # budget bounds the whole run against the harness's own timeout.
 PHASE_TIMEOUT_S = int(os.environ.get("BENCH_PHASE_TIMEOUT_S", "600"))
 # The north-star phase retries once on RESOURCE_EXHAUSTED (sleep +
-# degraded config), so it gets headroom beyond the default.
-PHASE_TIMEOUT_OVERRIDES_S = {"e2e10m": 900}
-TOTAL_BUDGET_S = int(os.environ.get("BENCH_TOTAL_BUDGET_S", "2700"))
+# degraded config) and the readme phase carries the PRIMARY parity
+# metric — both get headroom beyond the default (the tunnel's slow
+# latency mode can stretch the readme phase's compile chain past 600 s;
+# measured 205 s in the fast mode).
+PHASE_TIMEOUT_OVERRIDES_S = {"e2e10m": 900, "readme": 900}
+TOTAL_BUDGET_S = int(os.environ.get("BENCH_TOTAL_BUDGET_S", "3300"))
 
 
 def _jax():
@@ -1287,24 +1290,29 @@ PHASES = {
 # Order matters: the cheap/high-signal phases run first so a timeout tail
 # cannot eat the primary metric.
 PHASE_ORDER = [
+    # Ordered by README-quote priority, not cost: in the tunnel's slow
+    # latency mode every phase's compile chain stretches 2-3x and the
+    # global budget truncates the TAIL of this list — so the primary
+    # metric, the north star, and the headline capability phases run
+    # first, and the forced-device regression pin runs last.
     "readme",
+    "e2e10m",
+    "e2e1mcheb",
     "extended",
-    "spmv1m",
-    "roofline",
-    "kernels",
     "shiftinv",
     "complexsc",
     "complexscsparse",
     "conv",
     "conv1m",
     "e2e65k",
-    "e2e10m",
-    "e2e16m",
+    "spmv1m",
+    "roofline",
+    "kernels",
     "bsr",
-    "spmvcsr",
     "spmv16m",
-    "e2e1mcheb",
     "e2e1m",
+    "e2e16m",
+    "spmvcsr",
     "e2e1mdev",
 ]
 
