@@ -670,6 +670,7 @@ def _partial_schur_device(op, ws, mindim, maxdim, nev, tol, restarts, target, ke
     # previous run on this workspace are stale now.
     ws.Vlo = None
     ws.Vim = None
+    ws.Hlo = None
 
     history = History(
         int(prods),
@@ -871,8 +872,15 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
     if dd:
         # The host Hessenberg becomes an object array of DD scalars for
         # the whole restart loop: the dense kernels run unchanged on it
-        # (ws.H keeps the f64 hi words, synced on exit).
-        H = dd_pack(H)
+        # (ws.H keeps the f64 hi words, ws.Hlo the lo words — synced
+        # after every restart and on exit so the workspace stays
+        # resumable at full double-double accuracy; a warm start
+        # rehydrates the locked block from both words).
+        Hlo_host = getattr(ws, "Hlo", None)
+        if active0 > 0 and Hlo_host is not None:
+            H = dd_pack(H, Hlo_host)
+        else:
+            H = dd_pack(H)
     H[:, active0:m] = Hpull[:, active0:m]
     timings["device"] += _time.perf_counter() - t0
 
@@ -1073,6 +1081,13 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
             ws.Vlo = Vlo
         if sc:
             ws.Vim = Vim
+        if dd:
+            # H is a fresh object array in dd mode (it no longer aliases
+            # ws.H), so sync both words explicitly — without this, an
+            # abort mid-solve would leave ws.V many restarts ahead of a
+            # stale ws.H.
+            ws.H[:] = dd_hi(H)
+            ws.Hlo = dd_lo(H)
 
     nconverged = active
 
@@ -1124,6 +1139,10 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
     # extended run; a plain solve invalidates it (V moved without lo
     # tracking).
     ws.Vlo = Vlo if extended else None
+    if not dd:
+        # Non-dd solves carry H in a single word: any double-double low
+        # word from a previous run on this workspace is stale now.
+        ws.Hlo = None
     # A plain solve moves V without tracking an imaginary word, so any
     # split-complex state from a previous run is stale now (same rule as
     # the extended low word above).
@@ -1136,7 +1155,8 @@ def _partial_schur(op, ws, mindim, maxdim, nev, tol, restarts, target, order_key
         # lo away, so Q/R carry the hi word and the extra attributes
         # Q_lo/R_lo carry the rest — together a ~1e-32-accurate pair
         # (the Double64-class return; docs/precision.md).
-        ws.H[:] = dd_hi(H)  # resumable f64 state (hi words)
+        ws.H[:] = dd_hi(H)  # resumable state: hi words here, lo in Hlo
+        ws.Hlo = dd_lo(H)
         schur = PartialSchur(
             np.asarray(V, np.float64)[:nconverged].T.copy(),
             dd_hi(H[:nconverged, :nconverged]),

@@ -433,9 +433,13 @@ def dia_from_diagonals(diagonals, shape, dtype=None):
     )
     dtype = dtype or (np.complex128 if values_complex else np.float64)
     if np.issubdtype(np.dtype(dtype), np.complexfloating) or values_complex:
+        # The split parts' REAL word honors the requested precision: a
+        # complex64 request — or complex values with a real float32
+        # dtype (the f32 word the TPU path wants) — gives float32 words.
         word = (
             np.float32
-            if np.dtype(dtype) == np.dtype("complex64")
+            if np.dtype(dtype) in (np.dtype("complex64"),
+                                   np.dtype("float32"))
             else np.float64
         )
         diags = np.zeros((len(offsets), n), dtype=np.complex128)
@@ -1581,11 +1585,22 @@ def as_operator(A, n=None, dtype=None, sparse_format="auto"):
                     if np.any(data.imag)
                     else None
                 )
+                # re and im share one sparsity pattern: resolve the auto
+                # format ONCE (pick_sparse_format is O(nnz log nnz) host
+                # work) and apply the concrete layout to both parts.
+                fmt = sparse_format
+                if sparse_format in (None, "auto"):
+                    fmt, info = pick_sparse_format(
+                        np.asarray(re.indptr), np.asarray(re.indices),
+                        re.shape,
+                    )
+                    _LOG.info(
+                        "as_operator: sparse format auto-selected -> %s %s "
+                        "(override with sparse_format=)", fmt, info,
+                    )
                 return SplitComplexOperator(
-                    _format_csr(re, sparse_format),
-                    _format_csr(im, sparse_format)
-                    if im is not None
-                    else None,
+                    _format_csr(re, fmt),
+                    _format_csr(im, fmt) if im is not None else None,
                 )
         return _format_csr(
             CsrOperator(csr.indptr, csr.indices, data, csr.shape),

@@ -172,7 +172,7 @@ class ChebyshevFilterOperator(LinearOperator):
         if isinstance(self.op, Stencil5Operator) and self.op.use_pallas is None:
             self.op = Stencil5Operator(
                 self.op.coeffs, self.op.grid, dtype=self.op.dtype,
-                use_pallas=False,
+                use_pallas=False, boundary=self.op.boundary,
             )
         self.a = float(a)
         self.b = float(b)
@@ -286,6 +286,19 @@ class CirculantShiftInvertOperator(LinearOperator):
             raise ValueError(
                 "CirculantShiftInvertOperator needs a periodic "
                 "Stencil5Operator"
+            )
+        if op._complex_coeffs:
+            # For a complex circulant A, (A - sigma I)^{-1} x is complex
+            # even for real x — the matvec below returns only the real
+            # part of the inverse FFT, which is exact ONLY when the
+            # symbol is conjugate-symmetric (real coefficients).  A
+            # complex-coefficient solve needs the split-complex contract
+            # (matvec_sc carrying both words); reject rather than return
+            # a silently truncated solve.
+            raise NotImplementedError(
+                "CirculantShiftInvertOperator supports real-coefficient "
+                "periodic stencils only (complex coefficients would need "
+                "a split-complex matvec_sc inverse)"
             )
         import numpy as np
 
@@ -418,6 +431,11 @@ def estimate_interval(A, nev, maxdim=None, safety=3.0, seed=0, b_iters=30,
     )
 
     Interval = collections.namedtuple("Interval", ["a", "b", "lo"])
+    if which not in ("SR", "LM"):
+        # Validate BEFORE the power bound / coarse Arnoldi pass: at 1M+
+        # rows those are minutes of device work a typo'd `which` would
+        # waste before surfacing.
+        raise ValueError("which must be 'SR' or 'LM'")
     op = as_operator(A)
     b = power_bound(op, iters=b_iters, seed=seed)
     # The coarse pass only seeds (lo, theta) for the ChebFSI refinement,
@@ -443,8 +461,6 @@ def estimate_interval(A, nev, maxdim=None, safety=3.0, seed=0, b_iters=30,
             op, nev, ritz, b, safety, seed, b_iters, refine, refine_degree,
             key, Interval, m,
         )
-    if which != "SR":
-        raise ValueError("which must be 'SR' or 'LM'")
     lo, theta = ritz[0], ritz[min(nev, m) - 1]
 
     def edge(lo, theta):

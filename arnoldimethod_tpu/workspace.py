@@ -63,6 +63,11 @@ class ArnoldiWorkspace:
         # matrices on TPU — ops/sc_expansion.py); None for real/plain
         # complex solves.
         self.Vim = None
+        # Low word of the HOST Hessenberg for double-double solves
+        # (extended=True with float64 words): H stores the hi words, Hlo
+        # the lo words, so a warm start resumes the locked block at the
+        # full ~1e-32 accuracy the criterion certifies.  None otherwise.
+        self.Hlo = None
         self.sharding = sharding
 
         host_dtype = (
@@ -97,6 +102,8 @@ class ArnoldiWorkspace:
             extra["Vlo"] = np.asarray(self.Vlo)
         if self.Vim is not None:
             extra["Vim"] = np.asarray(self.Vim)
+        if self.Hlo is not None:
+            extra["Hlo"] = np.asarray(self.Hlo)
         np.savez(
             path,
             V=np.asarray(self.V),
@@ -129,4 +136,6 @@ class ArnoldiWorkspace:
                 if sharding is not None:
                     Vim = jax.device_put(Vim, sharding)
                 ws.Vim = Vim
+            if "Hlo" in f:
+                ws.Hlo = np.array(f["Hlo"], dtype=np.float64)
             return ws

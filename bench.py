@@ -1004,9 +1004,11 @@ def conv_1m_nonsym():
     )
     se = sym.ravel()
     w = np.asarray(w)
-    acc = float(max(min(abs(l - t) for t in se) for l in w))
+    # Vectorized nearest-symbol distances: the interpreted double loop
+    # over the 1M-element symbol cost tens of seconds of host time.
+    acc = float(max(np.abs(se - l).min() for l in w))
     top8 = se[np.argsort(-np.abs(se))][:8]
-    cov = float(max(min(abs(t - l) for l in w) for t in top8))
+    cov = float(max(np.abs(w - t).min() for t in top8))
     return {
         "conv1m_n": N * N,
         "conv1m_wall_s": round(t_sigma + t_solve + t_rr, 2),

@@ -61,5 +61,5 @@ sym = s * (
     + 2j * (cx * np.sin(th)[:, None] + cy * np.sin(th)[None, :])
 )
 se = sym.ravel()
-acc = max(min(abs(l - t) for t in se) for l in w)
+acc = max(np.abs(se - l).min() for l in w)
 print(f"max eigenvalue error  : {acc:.3e}")

@@ -140,3 +140,51 @@ def test_extended_f32_words_unchanged():
     d, h = partial_schur(op, nev=6, which="SR", tol=1e-11, extended=True)
     assert h.converged
     assert not hasattr(d, "Q_lo")  # dd-only attribute
+
+
+def test_dd_workspace_resume_keeps_low_words():
+    """Regression: the dd path must keep ws.H/ws.Hlo coherent during the
+    loop and resume the locked block from BOTH words — storing only the
+    hi words made a resumed solve certify tol~1e-28 against a relation
+    whose locked block was only f64-accurate (~1e-16 backward error)."""
+    from arnoldimethod_tpu import ArnoldiWorkspace, partial_schur
+    from arnoldimethod_tpu.models.problems import laplacian_1d
+
+    op = laplacian_1d(100, dtype=np.float64)
+    ws = ArnoldiWorkspace(100, maxdim=30, dtype=np.float64)
+    d1, h1 = partial_schur(op, workspace=ws, nev=5, which="SR", tol=1e-24,
+                           mindim=12, maxdim=30, extended=True)
+    assert h1.converged
+    assert ws.Hlo is not None  # dd state persisted for resume
+
+    # Save/load round-trips the low word.
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "ws.npz")
+        ws.save(p)
+        ws2 = ArnoldiWorkspace.load(p)
+        assert ws2.Hlo is not None
+        np.testing.assert_array_equal(np.asarray(ws2.Hlo), np.asarray(ws.Hlo))
+
+    d2, h2 = partial_schur(op, workspace=ws, nev=10, which="SR", tol=1e-24,
+                           mindim=12, maxdim=30, extended=True,
+                           start_from=h1.nconverged)
+    assert h2.converged
+
+    # Exact rational oracle on the RESUMED decomposition: the locked
+    # prefix must still satisfy the relation to double-double accuracy.
+    Qf = _frac_arr(np.asarray(d2.Q), np.asarray(d2.Q_lo))
+    Rf = _frac_arr(np.asarray(d2.R), np.asarray(d2.R_lo))
+    AQ = np.empty_like(Qf)
+    AQ[:] = 2 * Qf
+    AQ[:-1] += -Qf[1:]
+    AQ[1:] += -Qf[:-1]
+    resid = AQ - Qf @ Rf
+    rnorm = float(sum(float(v * v) for v in resid.ravel())) ** 0.5
+    assert rnorm < 1e-22
+
+    # A plain (non-dd) solve on the same workspace invalidates the
+    # double-double low word.
+    partial_schur(op, workspace=ws, nev=5, which="SR", tol=1e-10,
+                  mindim=12, maxdim=30)
+    assert ws.Hlo is None

@@ -413,3 +413,16 @@ def test_csr_to_dia_exact():
     np.testing.assert_allclose(
         np.asarray(op.matvec(jnp.asarray(x))), T @ x, rtol=1e-12
     )
+
+
+def test_dia_from_diagonals_complex_float32_words():
+    """Regression: complex values with a REAL float32 dtype request must
+    give float32 split words (the TPU word), not silently fall back to
+    float64/complex128."""
+    vals = np.array([1 + 2j, 3 - 1j, 0.5j, 2.0], dtype=np.complex128)
+    op = dia_from_diagonals({0: vals}, (4, 4), dtype=np.float32)
+    assert op.re.diags.dtype == np.float32
+    assert op.im.diags.dtype == np.float32
+    x = np.arange(1.0, 5.0)
+    y = np.asarray(op.re.matvec(x)) + 1j * np.asarray(op.im.matvec(x))
+    np.testing.assert_allclose(y, vals * x, rtol=1e-6)
