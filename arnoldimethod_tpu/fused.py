@@ -52,15 +52,16 @@ from .dense.device import (
     restore_arnoldi_jax,
     sort_schur_jax,
 )
-from .ops.expansion import _PREC, expand_range_impl
+from .ops.expansion import _PREC, DISPATCH_BUDGET_S, expand_range_impl
 
 __all__ = ["fused_solve"]
 
 # Per-dispatch wall-clock target (seconds).  The v5e worker survives
 # single executions of ~105 s and dies somewhere before ~160 s; 40 s
 # leaves a >2x margin while keeping the number of chunk round-trips
-# (one ~25 ms scalar readback each) negligible.
-_CHUNK_SECONDS = float(os.environ.get("ARNOLDI_TPU_CHUNK_SECONDS", "40"))
+# (one ~25 ms scalar readback each) negligible.  One shared knob with
+# the expansion slicing (ARNOLDI_TPU_CHUNK_SECONDS, ops/expansion.py).
+_CHUNK_SECONDS = DISPATCH_BUDGET_S
 # Restart count of the FIRST dispatch (compile time makes its wall
 # useless for rate estimation, so it is fixed and small-ish).
 _CHUNK_INIT = int(os.environ.get("ARNOLDI_TPU_FUSED_CHUNK", "16"))

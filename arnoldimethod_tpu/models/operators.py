@@ -82,8 +82,6 @@ class LinearOperator:
         so gathering K-wide rows of X amortizes the address cost K-fold
         — the platform's one order-of-magnitude lever for scattered
         sparsity."""
-        import jax
-
         return jax.lax.map(self.matvec, X.T).T
 
     def __matmul__(self, x):
@@ -249,6 +247,15 @@ class Stencil5Operator(LinearOperator):
         # nonsymmetric-at-scale model problem).
         if boundary not in ("dirichlet", "periodic"):
             raise ValueError("boundary must be 'dirichlet' or 'periodic'")
+        if use_pallas and boundary != "dirichlet":
+            # The Pallas kernels assume zero halos; honoring the request
+            # would compute wrong wrap-around rows, and silently falling
+            # back would misreport what a benchmark measured.
+            raise ValueError(
+                "use_pallas requires boundary='dirichlet' (the Pallas "
+                "stencil kernels assume zero halos); use use_pallas=None "
+                "or False for periodic boundaries"
+            )
         self.boundary = boundary
         cs = tuple(complex(c) for c in coeffs)
         self._complex_coeffs = any(c.imag != 0.0 for c in cs)
@@ -481,7 +488,7 @@ class BsrOperator(LinearOperator):
         cols, dataT = pack_bsr(block_cols, block_data)
         self.block_cols = jnp.asarray(cols)
         self.block_dataT = jnp.asarray(dataT)
-        self.logical_blocks = tuple(np.asarray(block_data).shape[:2])
+        self.logical_blocks = tuple(np.shape(block_data)[:2])
         self.shape = tuple(shape)
         self.dtype = self.block_dataT.dtype
         self.use_pallas = use_pallas
@@ -667,6 +674,12 @@ def sell_from_csr(indptr, indices, data, shape, dtype=None):
     inv_perm = np.empty(n, dtype=np.int64)
     inv_perm[order] = np.arange(n)
 
+    # The masked fancy-indexing below still evaluates data[idx]/indices[idx]
+    # eagerly, which needs at least one addressable entry even when the
+    # matrix has no nonzeros (then idx is all-zero and valid all-False).
+    data_ix = data if data.size else np.zeros(1, dtype=data.dtype)
+    cols_ix = indices if indices.size else np.zeros(1, dtype=np.int64)
+
     buckets = []
     sorted_k = bucket_k[order]
     start = 0
@@ -677,8 +690,8 @@ def sell_from_csr(indptr, indices, data, shape, dtype=None):
         slot = np.arange(K, dtype=np.int64)[None, :]
         valid = slot < row_nnz[rows][:, None]
         idx = np.where(valid, indptr[rows][:, None] + slot, 0)
-        bdata = np.where(valid, data[idx], 0).astype(data.dtype)
-        bcols = np.where(valid, indices[idx], 0).astype(np.int32)
+        bdata = np.where(valid, data_ix[idx], 0).astype(data.dtype)
+        bcols = np.where(valid, cols_ix[idx], 0).astype(np.int32)
         buckets.append((jnp.asarray(bdata), jnp.asarray(bcols)))
         start = stop
     return SellOperator(
@@ -1179,6 +1192,11 @@ class ShiftInvertDenseOperator(LinearOperator):
     def matvec(self, x):
         return jax.scipy.linalg.lu_solve((self.lu, self.piv), x)
 
+    def matvec_cost_hint(self):
+        # Two dense triangular solves stream the n x n LU factors once.
+        n = self.shape[0]
+        return 2.0 * n * n * np.dtype(self.dtype).itemsize / 8.0e11
+
     def tree_flatten(self):
         return (self.lu, self.piv, self.sigma), (self.shape, self.dtype)
 
@@ -1265,7 +1283,7 @@ class TridiagonalShiftInvertOperator(LinearOperator):
             raise ValueError("operator is not tridiagonal")
         n = op.shape[0]
         diags = {int(o): np.asarray(op.diags[i]) for i, o in enumerate(op.offsets)}
-        zero = np.zeros(n, dtype=np.asarray(op.diags).dtype)
+        zero = np.zeros(n, dtype=np.dtype(op.diags.dtype))
         # DiaOperator stores diag k at positions max(0,-k)..; entry j of
         # offset -1 multiplies x[j-1] on row j -> dl[j-1] = diags[-1][j].
         dl = diags.get(-1, zero)[1:]
@@ -1558,6 +1576,13 @@ def as_operator(A, n=None, dtype=None, sparse_format="auto"):
                 f"matrix is not square: dimensions are {tuple(A.shape)}"
             )
         csr = A.tocsr()
+        if not getattr(csr, "has_canonical_format", True):
+            # Duplicate (row, col) entries: the gather+segment_sum matvec
+            # and the ELL/SELL/BSR repacks all SUM duplicates, but
+            # csr_to_dia's scatter would keep only the last one — make the
+            # triple canonical up front (on a copy: sum_duplicates mutates).
+            csr = csr.copy()
+            csr.sum_duplicates()
         data = np.asarray(csr.data)
         if np.issubdtype(data.dtype, np.integer) or np.issubdtype(
             data.dtype, np.bool_
@@ -1565,7 +1590,7 @@ def as_operator(A, n=None, dtype=None, sparse_format="auto"):
             data = data.astype(np.float64)
         if np.issubdtype(data.dtype, np.complexfloating):
             default = jax.devices()[0].platform
-            if default != "cpu":
+            if default == "tpu":
                 # Complex sparse on TPU: split into two REAL CsrOperators
                 # (f32 words — TPU has no 64-bit units) and solve through
                 # the split-complex path, the same automatic wiring the

@@ -426,3 +426,41 @@ def test_dia_from_diagonals_complex_float32_words():
     x = np.arange(1.0, 5.0)
     y = np.asarray(op.re.matvec(x)) + 1j * np.asarray(op.im.matvec(x))
     np.testing.assert_allclose(y, vals * x, rtol=1e-6)
+
+
+def test_as_operator_empty_sparse_matrix():
+    """Regression: a zero-nonzero scipy matrix auto-routes to SELL, whose
+    repack used to crash indexing the empty data array."""
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix((16, 16))
+    op = as_operator(A)
+    y = np.asarray(op.matvec(jnp.ones(16)))
+    np.testing.assert_array_equal(y, np.zeros(16))
+    assert op.nnz == 0
+
+
+def test_as_operator_sums_duplicate_entries_in_dia():
+    """Regression: duplicate (row, col) COO entries must SUM in every
+    layout — csr_to_dia's scatter kept only the last one."""
+    import scipy.sparse as sp
+
+    n = 32
+    rows = np.r_[np.arange(n), np.arange(n), np.arange(1, n)]
+    cols = np.r_[np.arange(n), np.arange(n), np.arange(n - 1)]
+    vals = np.r_[np.full(n, 1.5), np.full(n, 0.5), np.full(n - 1, -1.0)]
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n))  # banded: 2, -1
+    op = as_operator(A)  # auto -> DIA for this band
+    x = np.arange(1.0, n + 1.0)
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y, A.tocsr() @ x, rtol=1e-12)
+
+
+def test_stencil_pallas_rejects_periodic():
+    """An explicitly requested Pallas stencil kernel assumes zero halos;
+    combining it with periodic wrap must fail loudly."""
+    from arnoldimethod_tpu.models.operators import Stencil5Operator
+
+    with pytest.raises(ValueError, match="dirichlet"):
+        Stencil5Operator((4, -1, -1, -1, -1), (8, 8), use_pallas=True,
+                         boundary="periodic")
