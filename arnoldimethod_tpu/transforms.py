@@ -26,6 +26,7 @@ __all__ = [
     "GeneralizedShiftInvertOperator",
     "BInnerProductOperator",
     "ChebyshevFilterOperator",
+    "CirculantShiftInvertOperator",
     "estimate_interval",
     "power_bound",
     "rayleigh_ritz",
@@ -51,7 +52,10 @@ class GeneralizedShiftInvertOperator(LinearOperator):
     def build(cls, A, B, sigma=0.0):
         A = jnp.asarray(A)
         B = jnp.asarray(B)
-        dtype = jnp.result_type(A.dtype, B.dtype, type(sigma))
+        # result_type on the VALUE: python scalars stay weak (no f32->f64
+        # promotion), np scalars keep their dtype, and 0-d arrays work too
+        # (type(sigma) would crash jnp.result_type for those).
+        dtype = jnp.result_type(A.dtype, B.dtype, sigma)
         M = A.astype(dtype) - sigma * B.astype(dtype)
         lu, piv = jax.scipy.linalg.lu_factor(M)
         return cls(lu, piv, B.astype(dtype), sigma, A.shape)
@@ -177,6 +181,10 @@ class ChebyshevFilterOperator(LinearOperator):
         self.a = float(a)
         self.b = float(b)
         self.degree = int(degree)
+        if self.degree < 1:
+            # degree 0 would silently return T_1 (the fori_loop runs zero
+            # times on the t1 carry), not the identity T_0.
+            raise ValueError("ChebyshevFilterOperator degree must be >= 1")
         self.scale_point = None if scale_point is None else float(scale_point)
         self.shape = self.op.shape
         self.dtype = self.op.dtype
@@ -373,7 +381,12 @@ def power_bound(A, iters=20, seed=0, safety=1.05):
         nrm = jnp.linalg.norm(w)
         return w / nrm, nrm
 
-    v, nrm = lax.fori_loop(0, iters, body, (v, jnp.asarray(1.0, op.dtype)))
+    # The norm is REAL even for complex operators: the carry must start
+    # at the real dtype or fori_loop rejects the carry type mismatch.
+    real_dtype = jnp.finfo(jnp.dtype(op.dtype)).dtype
+    v, nrm = lax.fori_loop(
+        0, iters, body, (v, jnp.asarray(1.0, real_dtype))
+    )
     return float(nrm) * safety
 
 
@@ -473,22 +486,18 @@ def estimate_interval(A, nev, maxdim=None, safety=3.0, seed=0, b_iters=30,
     k = min(nev + 5, n)
     # Rows layout (k, n): n rides the lane axis, no (n, k) transposes.
     X = jax.random.normal(jax.random.fold_in(key, 1), (k, n), dtype=op.dtype)
-    # lax.map, not vmap: Pallas kernels with resident (ANY/VMEM) operands
-    # do not batch, and sequential filtered matvecs inside one dispatch
-    # are exactly as HBM-bound as a batched one would be.
-    filt = jax.jit(lambda fop, X: lax.map(fop.matvec, X))
-    # refine_degree: one degree for every round, or a per-round schedule
-    # (a ramp like (100, 200, 400, 400) spends little while the interval
-    # is still coarse and the filter separates poorly, and the full
-    # degree once the edges are near their targets).
-    degrees = (
-        [int(refine_degree)] * refine
-        if np.isscalar(refine_degree)
-        else [int(d) for d in refine_degree]
-    )
-    for r, deg_r in enumerate(degrees):
+    for r, deg_r in enumerate(_degree_schedule(refine, refine_degree)):
         fop = ChebyshevFilterOperator(op, a, b, deg_r, scale_point=lo)
-        Q = orthonormalize_rows(filt(fop, X), jax.random.fold_in(key, 2 + r))
+        # _rr_mv_rows (module-level jitted lax.map, shared with
+        # rayleigh_ritz): lax.map, not vmap — Pallas kernels with resident
+        # (ANY/VMEM) operands do not batch, and sequential filtered
+        # matvecs inside one dispatch are exactly as HBM-bound as a
+        # batched one would be.  A per-call jitted closure here would
+        # retrace (and on the remote-compile tunnel, recompile) on every
+        # estimate_interval call.
+        Q = orthonormalize_rows(
+            _rr_mv_rows(fop, X), jax.random.fold_in(key, 2 + r)
+        )
         w, _, _ = rayleigh_ritz(op, Q, rows_layout=True,
                                 return_vectors=False,
                                 compute_residuals=False)
@@ -497,6 +506,18 @@ def estimate_interval(A, nev, maxdim=None, safety=3.0, seed=0, b_iters=30,
         a = edge(lo, theta)
         X = Q
     return Interval(float(a), float(b), float(lo))
+
+
+def _degree_schedule(refine, refine_degree):
+    """refine_degree: one degree for every round, or a per-round schedule
+    (a ramp like (100, 200, 400, 400) spends little while the interval is
+    still coarse and the filter separates poorly, and the full degree once
+    the edges are near their targets; then `refine` is ignored)."""
+    import numpy as np
+
+    if np.isscalar(refine_degree):
+        return [int(refine_degree)] * refine
+    return [int(d) for d in refine_degree]
 
 
 def _estimate_interval_lm(op, nev, ritz, b, safety, seed, b_iters, refine,
@@ -541,20 +562,16 @@ def _estimate_interval_lm(op, nev, ritz, b, safety, seed, b_iters, refine,
     X = jax.random.normal(
         jax.random.fold_in(key, 1), (k, n), dtype=op.dtype
     )
-    filt = jax.jit(lambda fop, X: lax.map(fop.matvec, X))
-    degrees = (
-        [int(refine_degree)] * refine
-        if np.isscalar(refine_degree)
-        else [int(d) for d in refine_degree]
-    )
-    for r, deg_r in enumerate(degrees):
+    for r, deg_r in enumerate(_degree_schedule(refine, refine_degree)):
         # scale_point = hi, the WANTED-edge estimate (mirror of the SR
         # recipe's `lo`): normalizing at the inflated power bound b
         # instead puts the wanted eigenvalues e^{-O(deg*sqrt(overshoot))}
         # below 1 — a measured f32 underflow to exactly zero at deg=400.
         fop = ChebyshevFilterOperator(op, lo_edge, a_cut, deg_r,
                                       scale_point=hi)
-        Q = orthonormalize_rows(filt(fop, X), jax.random.fold_in(key, 2 + r))
+        Q = orthonormalize_rows(
+            _rr_mv_rows(fop, X), jax.random.fold_in(key, 2 + r)
+        )
         w, _, _ = rayleigh_ritz(op, Q, rows_layout=True,
                                 return_vectors=False,
                                 compute_residuals=False)
@@ -587,9 +604,9 @@ def _estimate_interval_lm(op, nev, ritz, b, safety, seed, b_iters, refine,
     # residual (and hence the margin) is the cluster spread, not the
     # top-mode error (measured: r ~ 1e-2 at 300 degrees, ~1e-6 at 3200).
     v = X[0]
+    fpol = ChebyshevFilterOperator(op, lo_edge, a_cut, 400,
+                                   scale_point=hi)
     for t in range(8):
-        fpol = ChebyshevFilterOperator(op, lo_edge, a_cut, 400,
-                                       scale_point=hi)
         v = fpol.matvec(v)
         v = v / jnp.linalg.norm(v)
     Av = op.matvec(v)
@@ -783,7 +800,7 @@ def rayleigh_ritz(A, Q, chunk=16, return_vectors=True, rows_layout=False,
     def _resid_of(Xc, wc):
         return _rr_resid(op, Xc, wc)
 
-    res = np.zeros(k)
+    res = np.zeros(k) if compute_residuals else None
     x_chunks = [] if return_vectors else None
     if real_w or is_cplx:
         Vdev = jnp.asarray(Vs.real if real_w and not is_cplx else Vs,
@@ -791,9 +808,10 @@ def rayleigh_ritz(A, Q, chunk=16, return_vectors=True, rows_layout=False,
         wdev = jnp.asarray(w, dtype=dtype)
         for c0 in range(0, k, chunk):
             Xc = _ritz_rows(Q, Vdev[:, c0:c0 + chunk])
-            res[c0:c0 + chunk] = np.asarray(
-                _resid_of(Xc, wdev[c0:c0 + chunk]), np.float64
-            )
+            if compute_residuals:
+                res[c0:c0 + chunk] = np.asarray(
+                    _resid_of(Xc, wdev[c0:c0 + chunk]), np.float64
+                )
             if return_vectors:
                 x_chunks.append(Xc)
         X = None
@@ -809,11 +827,13 @@ def rayleigh_ritz(A, Q, chunk=16, return_vectors=True, rows_layout=False,
         for c0 in range(0, k, chunk):
             Xr = _ritz_rows(Q, Vr[:, c0:c0 + chunk])
             Xi = _ritz_rows(Q, Vi[:, c0:c0 + chunk])
-            AXr, AXi = mv_rows(Xr), mv_rows(Xi)
             Xc = np.asarray(Xr, np.float64) + 1j * np.asarray(Xi, np.float64)
-            AXc = np.asarray(AXr, np.float64) + 1j * np.asarray(AXi, np.float64)
-            Rc = AXc - w[c0:c0 + chunk, None] * Xc
-            res[c0:c0 + chunk] = np.linalg.norm(Rc, axis=1)
+            if compute_residuals:
+                AXr, AXi = mv_rows(Xr), mv_rows(Xi)
+                AXc = (np.asarray(AXr, np.float64)
+                       + 1j * np.asarray(AXi, np.float64))
+                Rc = AXc - w[c0:c0 + chunk, None] * Xc
+                res[c0:c0 + chunk] = np.linalg.norm(Rc, axis=1)
             if return_vectors:
                 Xh.append(Xc)
         X = None

@@ -443,3 +443,36 @@ def test_estimate_interval_validates_which_before_device_work():
     with pytest.raises(ValueError, match="SR"):
         estimate_interval(op, nev=4, which="lm")
     assert not calls  # no matvec was dispatched
+
+
+def test_power_bound_complex_operator():
+    """Regression: the power-iteration carry initialized its norm slot at
+    the operator dtype — complex, while jnp.linalg.norm returns real —
+    crashing the fori_loop with a carry-type mismatch."""
+    from arnoldimethod_tpu import power_bound
+
+    rng = np.random.default_rng(3)
+    A = (rng.standard_normal((40, 40))
+         + 1j * rng.standard_normal((40, 40))).astype(np.complex128)
+    b = float(power_bound(A, iters=30))
+    rho = np.max(np.abs(np.linalg.eigvals(A)))
+    assert b >= rho * 0.99
+    assert b < rho * 3.0
+
+
+def test_rayleigh_ritz_skips_residuals_when_asked():
+    """Regression: compute_residuals=False with return_vectors=True used
+    to run the full residual pass anyway (an extra A@X device sweep)."""
+    from arnoldimethod_tpu import rayleigh_ritz
+
+    rng = np.random.default_rng(4)
+    A = rng.standard_normal((60, 60))
+    A = A + A.T
+    Q, _ = np.linalg.qr(rng.standard_normal((60, 8)))
+    w, X, res = rayleigh_ritz(A, jnp.asarray(Q), compute_residuals=False)
+    assert res is None
+    assert X is not None and np.shape(X) == (60, 8)
+    w2, _, res2 = rayleigh_ritz(A, jnp.asarray(Q))
+    np.testing.assert_allclose(np.sort(np.asarray(w).real),
+                               np.sort(np.asarray(w2).real), rtol=1e-10)
+    assert res2 is not None
