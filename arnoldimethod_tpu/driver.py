@@ -252,6 +252,15 @@ def _schur_coupling_floor(rs, H, Q, h_last, lo, hi):
     return rs
 
 
+def _backend_platform(sharding):
+    """The platform the solve will run on: the sharding's devices when one
+    is given, the default backend otherwise (one resolution point for the
+    dtype gates and the method auto-select)."""
+    if sharding is not None:
+        return next(iter(sharding.device_set)).platform
+    return jax.local_devices()[0].platform
+
+
 def _pick_method(platform, is_real, maxdim, n):
     """method=None auto-select: the measured host/device crossover.
 
@@ -404,11 +413,7 @@ def partial_schur(
         jnp.dtype("float64"),
         jnp.dtype("complex64"),
     ):
-        platform = (
-            next(iter(sharding.device_set)).platform
-            if sharding is not None
-            else jax.local_devices()[0].platform
-        )
+        platform = _backend_platform(sharding)
         if platform == "tpu":
             if jnp.issubdtype(work_dtype, jnp.complexfloating) and hasattr(
                 op, "matvec_sc"
@@ -442,11 +447,7 @@ def partial_schur(
             # alternative is a native complex device basis, which this
             # module documents as fatal (readbacks fail UNIMPLEMENTED
             # and poison the stream) — fail loudly instead (ADVICE r4).
-            platform = (
-                next(iter(sharding.device_set)).platform
-                if sharding is not None
-                else jax.local_devices()[0].platform
-            )
+            platform = _backend_platform(sharding)
             if platform == "tpu":
                 raise NotImplementedError(
                     "split_complex=False with a complex dtype cannot run "
@@ -608,11 +609,7 @@ def partial_schur(
             )
         method = "host"
     if method is None:
-        platform = (
-            next(iter(sharding.device_set)).platform
-            if sharding is not None
-            else jax.local_devices()[0].platform
-        )
+        platform = _backend_platform(sharding)
         method = _pick_method(platform, is_real, maxdim, op.shape[0])
     if method not in ("host", "device"):
         raise ValueError(f"method must be 'host' or 'device', got {method!r}")

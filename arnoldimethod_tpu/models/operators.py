@@ -1276,7 +1276,41 @@ class TridiagonalShiftInvertOperator(LinearOperator):
 
     @classmethod
     def from_operator(cls, op, sigma=0.0, dtype=None, refine=None):
-        """Build from a DiaOperator whose offsets are within {-1, 0, 1}."""
+        """Build from a DiaOperator whose offsets are within {-1, 0, 1} —
+        or a SplitComplexOperator over two such parts (what
+        `dia_from_diagonals` returns for complex values): the parts are
+        recombined into complex bands for the host factorization, the
+        CPU/oracle complex shift-invert workflow."""
+        if isinstance(op, SplitComplexOperator):
+            parts = [p for p in (op.re, op.im) if p is not None]
+            if not all(isinstance(p, DiaOperator) for p in parts):
+                raise TypeError(
+                    "from_operator expects DiaOperator split-complex parts"
+                )
+            offsets = sorted(
+                {int(o) for p in parts for o in p.offsets}
+            )
+            if not set(offsets) <= {-1, 0, 1}:
+                raise ValueError("operator is not tridiagonal")
+            n = op.shape[0]
+            bands = {o: np.zeros(n, dtype=np.complex128) for o in (-1, 0, 1)}
+            for part, unit in ((op.re, 1.0), (op.im, 1.0j)):
+                if part is None:
+                    continue
+                for i, o in enumerate(part.offsets):
+                    bands[int(o)] += unit * np.asarray(part.diags[i])
+            # Same DIA storage convention as the plain branch below:
+            # entry j of offset -1 multiplies x[j-1] on row j.
+            return cls.build(
+                bands[-1][1:], bands[0], bands[1][:-1],
+                sigma=sigma,
+                dtype=dtype or (
+                    np.complex64
+                    if op.word_dtype == jnp.dtype("float32")
+                    else np.complex128
+                ),
+                refine=refine,
+            )
         if not isinstance(op, DiaOperator):
             raise TypeError("from_operator expects a DiaOperator")
         if not set(int(o) for o in op.offsets) <= {-1, 0, 1}:
@@ -1395,6 +1429,19 @@ class SplitComplexOperator(LinearOperator):
     def __init__(self, re_op=None, im_op=None):
         if re_op is None and im_op is None:
             raise ValueError("need at least one of re_op / im_op")
+        if re_op is not None and im_op is not None:
+            # Catch mismatched parts here, not as an opaque XLA shape (or
+            # silent-promotion) error deep inside a matvec_sc dispatch.
+            if tuple(re_op.shape) != tuple(im_op.shape):
+                raise ValueError(
+                    "re/im parts disagree in shape: "
+                    f"{tuple(re_op.shape)} vs {tuple(im_op.shape)}"
+                )
+            if jnp.dtype(re_op.dtype) != jnp.dtype(im_op.dtype):
+                raise ValueError(
+                    "re/im parts disagree in word dtype: "
+                    f"{jnp.dtype(re_op.dtype)} vs {jnp.dtype(im_op.dtype)}"
+                )
         self.re = re_op
         self.im = im_op
         some = re_op if re_op is not None else im_op

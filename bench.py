@@ -96,10 +96,12 @@ def readme_parity():
     warms_h = []
     for _ in range(3):
         t0 = time.perf_counter()
-        _, history_host = partial_schur(
+        decomp_host, history_host = partial_schur(
             op, nev=10, which="SR", tol=1e-6, method="host"
         )
-        np.asarray(decomp.Q)
+        # Fence THIS solve's result: reading the stale device-path decomp
+        # would be a no-op and leak trailing async work into the timing.
+        np.asarray(decomp_host.Q)
         warms_h.append(time.perf_counter() - t0)
     warm_wall_host, _ = _min_med(warms_h)
 
@@ -1356,7 +1358,10 @@ def _emit(results):
         return (
             k.endswith(("_converged", "_ok", "_error", "_timeout_s"))
             or k.startswith("e2e10m_nev100_")
-            or k in ("elapsed_s", "skipped_over_budget")
+            # The readme phase's flags have no prefix — keep them in the
+            # tail too, or they are the first keys a truncation loses.
+            or k in ("converged", "nconverged", "schur_residual",
+                     "elapsed_s", "skipped_over_budget")
         )
 
     head = {k: v for k, v in results.items()
@@ -1392,7 +1397,11 @@ def main():
             results["skipped_over_budget"] = order[i:]
             _emit(results)
             break
-        phase_cap = PHASE_TIMEOUT_OVERRIDES_S.get(name, PHASE_TIMEOUT_S)
+        # Overrides RAISE the floor for the phases that need headroom;
+        # a user-raised BENCH_PHASE_TIMEOUT_S is never capped below.
+        phase_cap = max(
+            PHASE_TIMEOUT_OVERRIDES_S.get(name, 0), PHASE_TIMEOUT_S
+        )
         results.update(_run_phase_subprocess(name, min(phase_cap, left)))
         results["elapsed_s"] = round(time.monotonic() - t_start, 1)
         _emit(results)

@@ -49,9 +49,10 @@ def _stencil_op(grid):
     )
 
 
-def _min_med(vals):
-    s = sorted(vals)
-    return round(s[0], 3), round(s[len(s) // 2], 3)
+# One measurement protocol for the sweep and the phases it calibrates:
+# bench.py owns min/median (the sys.path insert above makes it importable
+# when this script runs from the repo root, as documented).
+from bench import _min_med  # noqa: E402
 
 
 def run_cell(op, maxdim, method, restarts, warm):

@@ -158,8 +158,6 @@ def test_per_step_comm_bytes_bounded():
         .compile()
         .as_text()
     )
-    from tests.test_hlo_collectives import collective_bytes  # self-import ok
-
     per_step = collective_bytes(txt, per_step_only=True)
     assert "all-gather" not in per_step, per_step
     assert "all-to-all" not in per_step, per_step

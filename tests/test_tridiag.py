@@ -160,3 +160,48 @@ def test_refine_recovers_f32_accuracy():
     r0 = np.linalg.norm(A @ x0 - b)
     r1 = np.linalg.norm(A @ x1 - b)
     assert r1 < r0 / 5
+
+
+def test_from_operator_split_complex_parts():
+    """Regression: dia_from_diagonals returns a SplitComplexOperator for
+    complex values, which used to be rejected here — silently removing the
+    CPU complex tridiagonal shift-invert workflow.  from_operator now
+    recombines the (re, im) DiaOperator parts into complex bands."""
+    from arnoldimethod_tpu.models.operators import (
+        SplitComplexOperator,
+        dia_from_diagonals,
+    )
+
+    n = 48
+    rng = np.random.default_rng(7)
+    d = rng.standard_normal(n) + 1j * rng.standard_normal(n) + 3.0
+    dl = rng.standard_normal(n - 1) + 1j * rng.standard_normal(n - 1)
+    du = rng.standard_normal(n - 1) + 1j * rng.standard_normal(n - 1)
+    op = dia_from_diagonals(
+        {-1: np.concatenate([[0.0], dl]),
+         0: d,
+         1: np.concatenate([du, [0.0]])},
+        (n, n),
+    )
+    assert isinstance(op, SplitComplexOperator)
+    sigma = 0.4 + 0.1j
+    si = TridiagonalShiftInvertOperator.from_operator(op, sigma=sigma)
+    A = _dense(dl, d, du)
+    b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    x = np.asarray(si.matvec(b))
+    xs = np.linalg.solve(A - sigma * np.eye(n), b)
+    np.testing.assert_allclose(x, xs, rtol=1e-8, atol=1e-10)
+
+
+def test_split_complex_rejects_mismatched_parts():
+    """The (re, im) parts must agree in shape and word dtype — a mismatch
+    fails at construction, not as an XLA shape error inside matvec_sc."""
+    from arnoldimethod_tpu.models.operators import SplitComplexOperator
+
+    a = tridiagonal(8, -1.0, 2.0, -1.0, fmt="dia")
+    b = tridiagonal(16, -1.0, 2.0, -1.0, fmt="dia")
+    with pytest.raises(ValueError, match="shape"):
+        SplitComplexOperator(a, b)
+    c32 = DiaOperator(np.asarray(a.diags, dtype=np.float32), a.offsets, a.shape)
+    with pytest.raises(ValueError, match="dtype"):
+        SplitComplexOperator(a, c32)
